@@ -1,0 +1,19 @@
+"""bayesic_tpu — a TPU-native probabilistic-programming inference engine.
+
+Built from scratch against the capability surface of mjwillson/Bayesic
+(see SURVEY.md; the reference source was never observable — /root/reference
+was empty — so parity targets come from BASELINE.json's north_star/configs).
+
+Layering (SURVEY.md §1b):
+  dist/      distributions + transforms            (C1, C2)
+  core/      model DSL + joint log-prob compiler   (C3, C4)
+  infer/     SVI, HMC/NUTS, SMC backends           (C5-C10)
+  parallel/  mesh, shardings, collectives, launch  (C11-C13, C15)
+  ops/       Pallas TPU kernels + jnp fallbacks    (C14)
+  models/    the five reference example models     (C16-C20)
+  utils/     diagnostics, checkpoint, config, logs (C21, C23, aux)
+"""
+
+__version__ = "0.1.0"
+
+from . import dist  # noqa: F401

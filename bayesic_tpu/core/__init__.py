@@ -1,0 +1,27 @@
+"""Model DSL (SURVEY.md C3) + joint log-prob compiler (C4)."""
+
+from . import handlers
+from .logjoint import (
+    ModelInfo,
+    Potential,
+    build_logjoint,
+    init_to_prior,
+    init_to_uniform,
+    inspect_model,
+)
+from .primitives import deterministic, factor, param, plate, sample
+
+__all__ = [
+    "handlers",
+    "sample",
+    "plate",
+    "param",
+    "deterministic",
+    "factor",
+    "ModelInfo",
+    "Potential",
+    "build_logjoint",
+    "inspect_model",
+    "init_to_prior",
+    "init_to_uniform",
+]

@@ -1,0 +1,190 @@
+"""Joint log-prob compiler: model graph -> pure-JAX density in unconstrained
+space.
+
+Blueprint: SURVEY.md C4 — "model graph → pure-JAX ``log_joint(unconstrained
+params, data) -> scalar``; applies transforms+Jacobians; applies plate
+subsampling scale factors; fully jit/vmap-able" (BASELINE.json north_star:
+"the model graph compiles to pure JAX: vectorized joint log-prob
+evaluation").
+
+The compiler traces the model once to discover sites, then emits closures
+that replay it under ``substitute``; every replay happens at JAX trace time,
+so the resulting ``logdensity`` is a single fused XLA computation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from ..dist.transforms import biject_to
+from . import handlers
+from .primitives import sample  # noqa: F401  (re-export convenience)
+
+__all__ = ["ModelInfo", "inspect_model", "build_logjoint", "Potential",
+           "init_to_uniform", "init_to_prior"]
+
+
+class ModelInfo(NamedTuple):
+    """Static description of a model's site graph (from one discovery trace)."""
+
+    latent_names: tuple
+    observed_names: tuple
+    deterministic_names: tuple
+    transforms: dict          # latent name -> Transform (unconstrained -> support)
+    site_shapes: dict         # latent name -> constrained shape
+    unconstrained_shapes: dict  # latent name -> unconstrained shape
+    has_subsample: bool
+    subsample_sites: dict     # "{plate}__idx" -> (size, subsample_size)
+
+    @property
+    def unconstrained_dim(self):
+        import math
+        return sum(
+            math.prod(s) if s else 1
+            for s in self.unconstrained_shapes.values()
+        )
+
+
+def _model_trace(model, args, kwargs, key):
+    return handlers.trace(
+        handlers.seed(model, rng_key=key)
+    ).get_trace(*args, **kwargs)
+
+
+def inspect_model(model, *args, rng_key=None, **kwargs) -> ModelInfo:
+    key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+    tr = _model_trace(model, args, kwargs, key)
+    latents, observed, deterministics = [], [], []
+    transforms, shapes, ushapes, subsample_sites = {}, {}, {}, {}
+    has_subsample = False
+    for name, site in tr.items():
+        if site["type"] == "sample":
+            if site["is_observed"]:
+                observed.append(name)
+            else:
+                if site["dist"].support.is_discrete:
+                    raise ValueError(
+                        f"latent site {name!r} is discrete — marginalise it "
+                        f"(e.g. MixtureSameFamily) or observe it."
+                    )
+                latents.append(name)
+                t = biject_to(site["dist"].support)
+                transforms[name] = t
+                shapes[name] = jnp.shape(site["value"])
+                ushapes[name] = t.inverse_shape(jnp.shape(site["value"]))
+        elif site["type"] == "deterministic":
+            deterministics.append(name)
+        elif site["type"] == "subsample":
+            if site["subsample_size"] is not None \
+                    and site["subsample_size"] < site["size"]:
+                has_subsample = True
+                subsample_sites[name] = (site["size"], site["subsample_size"])
+    return ModelInfo(
+        tuple(latents), tuple(observed), tuple(deterministics),
+        transforms, shapes, ushapes, has_subsample, subsample_sites,
+    )
+
+
+def init_to_prior(model, info, *args, rng_key=None, **kwargs):
+    """Initial unconstrained params from one prior draw."""
+    key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+    tr = _model_trace(model, args, kwargs, key)
+    return {
+        n: info.transforms[n].inverse(tr[n]["value"]) for n in info.latent_names
+    }
+
+
+def init_to_uniform(info, rng_key, radius=2.0):
+    """Stan-style init: u ~ Uniform(-radius, radius) per coordinate."""
+    out = {}
+    for i, n in enumerate(info.latent_names):
+        k = jax.random.fold_in(rng_key, i)
+        out[n] = jax.random.uniform(
+            k, info.unconstrained_shapes[n], jnp.result_type(float),
+            -radius, radius,
+        )
+    return out
+
+
+def build_logjoint(model, *args, **kwargs):
+    """Compile ``model`` into pure-JAX callables.
+
+    Returns ``(info, logdensity, constrain, postprocess)`` where
+
+    * ``logdensity(uparams, rng_key=None, subsample=None) -> scalar``:
+      joint log-density (model density + change-of-variable Jacobians) at the
+      unconstrained pytree ``uparams``.  ``rng_key`` only matters for models
+      with subsampled plates (fresh mini-batch per call); ``subsample`` forces
+      specific ``"{plate}__idx"`` index arrays instead.
+    * ``constrain(uparams) -> dict``: latent values in the support.
+    * ``postprocess(uparams, rng_key=None) -> dict``: constrained latents plus
+      deterministic sites (full replay).
+    """
+    info = inspect_model(model, *args, **kwargs)
+
+    def _replay(uparams, rng_key, subsample):
+        values = {
+            n: info.transforms[n].forward(uparams[n])
+            for n in info.latent_names
+        }
+        data = dict(values)
+        if subsample:
+            data.update(subsample)
+        key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+        tr = handlers.trace(
+            handlers.substitute(
+                handlers.seed(model, rng_key=key), data=data
+            )
+        ).get_trace(*args, **kwargs)
+        return tr, values
+
+    def logdensity(uparams, rng_key=None, subsample=None):
+        tr, _ = _replay(uparams, rng_key, subsample)
+        total = jnp.zeros((), jnp.result_type(float))
+        for name, site in tr.items():
+            if site["type"] == "sample":
+                lp = site["dist"].log_prob(site["value"])
+                total = total + site["scale"] * jnp.sum(lp)
+                if name in info.transforms:
+                    ldj = info.transforms[name].log_det_jacobian(uparams[name])
+                    total = total + site["scale"] * jnp.sum(ldj)
+            elif site["type"] == "factor":
+                total = total + site["scale"] * jnp.sum(site["value"])
+        return total
+
+    def constrain(uparams):
+        return {
+            n: info.transforms[n].forward(uparams[n])
+            for n in info.latent_names
+        }
+
+    def postprocess(uparams, rng_key=None):
+        tr, values = _replay(uparams, rng_key, None)
+        out = dict(values)
+        for n in info.deterministic_names:
+            out[n] = tr[n]["value"]
+        return out
+
+    return info, logdensity, constrain, postprocess
+
+
+class Potential:
+    """Flat-vector view of a log-joint for HMC/NUTS (SURVEY.md C8): the
+    negative log-density over a single raveled parameter vector."""
+
+    def __init__(self, logdensity, uparams_example):
+        flat, unravel = ravel_pytree(uparams_example)
+        self.unravel = unravel
+        self.dim = flat.shape[0]
+        self.example_flat = flat
+        self._logdensity = logdensity
+
+    def __call__(self, q, **kw):
+        return -self._logdensity(self.unravel(q), **kw)
+
+    def value_and_grad(self, q, **kw):
+        return jax.value_and_grad(self.__call__)(q, **kw)

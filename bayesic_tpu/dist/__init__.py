@@ -1,0 +1,58 @@
+"""Distributions library (SURVEY.md C1) + transforms (C2)."""
+
+from . import constraints
+from .continuous import (
+    Beta,
+    Cauchy,
+    Exponential,
+    Gamma,
+    HalfCauchy,
+    HalfNormal,
+    InverseGamma,
+    Laplace,
+    LogNormal,
+    Normal,
+    StudentT,
+    TruncatedNormal,
+    Uniform,
+)
+from .discrete import Bernoulli, Binomial, Categorical, Poisson
+from .distribution import (
+    Delta,
+    Distribution,
+    Independent,
+    TransformedDistribution,
+)
+from .mixture import MixtureSameFamily
+from .multivariate import Dirichlet, LKJCholesky, MultivariateNormal
+from .transforms import biject_to
+
+__all__ = [
+    "constraints",
+    "biject_to",
+    "Distribution",
+    "Independent",
+    "Delta",
+    "TransformedDistribution",
+    "Normal",
+    "LogNormal",
+    "HalfNormal",
+    "Cauchy",
+    "HalfCauchy",
+    "StudentT",
+    "Laplace",
+    "Exponential",
+    "Gamma",
+    "InverseGamma",
+    "Beta",
+    "Uniform",
+    "TruncatedNormal",
+    "Bernoulli",
+    "Binomial",
+    "Categorical",
+    "Poisson",
+    "MultivariateNormal",
+    "Dirichlet",
+    "LKJCholesky",
+    "MixtureSameFamily",
+]

@@ -1,0 +1,10 @@
+"""SVI backend (SURVEY.md C5-C7)."""
+
+from .elbo import draw_subsample, make_elbo
+from .guides import FullRankGuide, Guide, MeanFieldGuide, NeuralGuide, unraveler
+from .svi import SVI, SVIResult, SVIState
+
+__all__ = [
+    "SVI", "SVIResult", "SVIState", "make_elbo", "draw_subsample",
+    "Guide", "MeanFieldGuide", "FullRankGuide", "NeuralGuide", "unraveler",
+]

@@ -1,0 +1,50 @@
+"""Reparameterized ELBO estimators.
+
+Blueprint: SURVEY.md C5 — "single/multi-sample reparameterized ELBO
+(E_q[logp - logq]), mini-batch likelihood scaling (N/B), gradient via
+jax.grad" (BASELINE.json north_star "reparameterized ELBO estimators with
+mini-batch subsampling").
+
+The mini-batch scale factor itself lives in the log-joint (plate handler,
+SURVEY.md C3/C4); this module only has to draw the shared mini-batch indices
+once per step so every particle sees the same batch.  Optional
+sticking-the-landing (``stl=True``) drops the score-function term of the
+gradient by stopping gradients through q's parameters in log q — lower
+variance at no cost for Gaussian guides.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["draw_subsample", "make_elbo"]
+
+
+def draw_subsample(info, key):
+    """Draw one index array per subsampled plate (shared across particles).
+    With-replacement uniform draws: unbiased and O(B) (SURVEY.md C5)."""
+    out = {}
+    for i, (name, (size, ssize)) in enumerate(
+        sorted(info.subsample_sites.items())
+    ):
+        out[name] = jax.random.randint(
+            jax.random.fold_in(key, i), (ssize,), 0, size
+        )
+    return out
+
+
+def make_elbo(logdensity, guide, num_particles=1, stl=True, info=None):
+    """Returns ``elbo(params, key, subsample=None) -> scalar`` (a stochastic
+    lower bound estimate; maximise it)."""
+
+    def elbo(params, key, subsample=None):
+        uparams, logq = guide.sample_and_log_prob(
+            params, key, (num_particles,), stop_gradient_q=stl
+        )
+        logp = jax.vmap(
+            lambda u: logdensity(u, subsample=subsample)
+        )(uparams)
+        return jnp.mean(logp - logq)
+
+    return elbo

@@ -1,0 +1,125 @@
+"""SVI driver: optimization loop over the ELBO.
+
+Blueprint: SURVEY.md C7 — "optimization loop (optax Adam), lax.scan-based
+step fusion, ELBO logging" (metric: ELBO-steps/s/chip).  The entire
+``run`` is ONE compiled XLA program: a ``lax.scan`` whose carry holds guide
+params + optimizer state + PRNG key; Python re-enters only when the result is
+fetched (SURVEY.md §3.1 call stack).
+
+Data parallelism (SURVEY.md C12) happens *above* this module: shard the data
+pytree over the mesh's ``data`` axis, keep params replicated, and jit —
+XLA inserts the gradient psum automatically.  ``grad_transform`` is the hook
+for the explicit shard_map path (``parallel.dp``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ...core.logjoint import build_logjoint, init_to_prior
+from .elbo import draw_subsample, make_elbo
+from .guides import Guide
+
+__all__ = ["SVIState", "SVIResult", "SVI"]
+
+
+class SVIState(NamedTuple):
+    params: Any
+    opt_state: Any
+    key: jax.Array
+    step: jax.Array
+
+
+class SVIResult(NamedTuple):
+    params: Any
+    losses: jax.Array      # negative ELBO per step
+    state: SVIState
+
+
+class SVI:
+    def __init__(self, model, guide, optimizer, model_args=(),
+                 model_kwargs=None, num_particles=1, stl=True,
+                 grad_transform: Optional[Callable] = None):
+        self.model = model
+        self.optimizer = optimizer
+        self.num_particles = num_particles
+        model_kwargs = model_kwargs or {}
+        self.info, self.logdensity, self.constrain, self.postprocess = \
+            build_logjoint(model, *model_args, **model_kwargs)
+        if isinstance(guide, Guide):
+            self.guide = guide
+        else:
+            self.guide = guide(self.info)  # class or factory taking info
+        self.elbo = make_elbo(
+            self.logdensity, self.guide, num_particles=num_particles,
+            stl=stl, info=self.info,
+        )
+        self.grad_transform = grad_transform
+        self._model_args = model_args
+        self._model_kwargs = model_kwargs
+
+    # -- functional stepping ----------------------------------------------
+    def init(self, key, init_loc_from_prior=False) -> SVIState:
+        key, sub = jax.random.split(key)
+        if init_loc_from_prior:
+            loc = init_to_prior(
+                self.model, self.info, *self._model_args,
+                rng_key=sub, **self._model_kwargs,
+            )
+            params = self.guide.init(sub, loc=loc)
+        else:
+            params = self.guide.init(sub)
+        opt_state = self.optimizer.init(params)
+        return SVIState(params, opt_state, key, jnp.zeros((), jnp.int32))
+
+    def step(self, state: SVIState):
+        key, key_q, key_b = jax.random.split(state.key, 3)
+        subsample = (
+            draw_subsample(self.info, key_b)
+            if self.info.has_subsample else None
+        )
+
+        def loss_fn(params):
+            return -self.elbo(params, key_q, subsample=subsample)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if self.grad_transform is not None:
+            grads = self.grad_transform(grads)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return SVIState(params, opt_state, key, state.step + 1), loss
+
+    # -- fused run ---------------------------------------------------------
+    def run(self, key, num_steps, jit=True) -> SVIResult:
+        state = self.init(key)
+
+        def scan_step(carry, _):
+            new_state, loss = self.step(carry)
+            return new_state, loss
+
+        def full(state):
+            return jax.lax.scan(scan_step, state, None, length=num_steps)
+
+        if jit:
+            full = jax.jit(full)
+        state, losses = full(state)
+        return SVIResult(state.params, losses, state)
+
+    # -- posterior access ---------------------------------------------------
+    def posterior_stats(self, params):
+        """Constrained-space posterior mean/std estimated by pushing the
+        guide's unconstrained Gaussian through the site transforms (delta
+        method is avoided: we just sample)."""
+        return self.guide.stats(params)
+
+    def sample_posterior(self, params, key, num_samples=1000):
+        uparams, _ = self.guide.sample_and_log_prob(
+            params, key, (num_samples,)
+        )
+        return jax.vmap(self.constrain)(uparams)

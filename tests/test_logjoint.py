@@ -1,0 +1,223 @@
+"""Log-prob compiler tests (SURVEY.md §4.2): hand-written joint densities vs
+build_logjoint output; subsampling unbiasedness; handler semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats as sps
+
+import bayesic_tpu.dist as dist
+from bayesic_tpu.core import (
+    Potential,
+    build_logjoint,
+    deterministic,
+    factor,
+    handlers,
+    init_to_prior,
+    init_to_uniform,
+    inspect_model,
+    plate,
+    sample,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def linreg_model(x, y):
+    w = sample("w", dist.Normal(0.0, 1.0))
+    b = sample("b", dist.Normal(0.0, 1.0))
+    sigma = sample("sigma", dist.HalfNormal(1.0))
+    mu = w * x + b
+    sample("obs", dist.Normal(mu, sigma).to_event(1), obs=y)
+
+
+def test_trace_and_seed():
+    x = jnp.linspace(-1, 1, 5)
+    y = jnp.zeros(5)
+    tr = handlers.trace(
+        handlers.seed(linreg_model, rng_key=KEY)
+    ).get_trace(x, y)
+    assert set(tr) == {"w", "b", "sigma", "obs"}
+    assert tr["obs"]["is_observed"]
+    assert not tr["w"]["is_observed"]
+    assert float(tr["sigma"]["value"]) > 0
+    # same key -> same draws
+    tr2 = handlers.trace(
+        handlers.seed(linreg_model, rng_key=KEY)
+    ).get_trace(x, y)
+    assert float(tr["w"]["value"]) == float(tr2["w"]["value"])
+
+
+def test_substitute_and_condition():
+    def m():
+        a = sample("a", dist.Normal(0.0, 1.0))
+        sample("b", dist.Normal(a, 1.0))
+
+    tr = handlers.trace(
+        handlers.substitute(
+            handlers.seed(m, rng_key=KEY), data={"a": jnp.asarray(3.0)}
+        )
+    ).get_trace()
+    assert float(tr["a"]["value"]) == 3.0
+
+    tr = handlers.trace(
+        handlers.condition(
+            handlers.seed(m, rng_key=KEY), data={"b": jnp.asarray(1.0)}
+        )
+    ).get_trace()
+    assert tr["b"]["is_observed"]
+
+
+def test_logjoint_vs_handwritten():
+    x = np.linspace(-2, 2, 20)
+    rng = np.random.default_rng(0)
+    y = 1.5 * x - 0.5 + rng.normal(0, 0.3, 20)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    info, logdensity, constrain, _ = build_logjoint(linreg_model, xj, yj)
+    assert set(info.latent_names) == {"w", "b", "sigma"}
+
+    u = {"w": jnp.asarray(0.7), "b": jnp.asarray(-0.2),
+         "sigma": jnp.asarray(-0.5)}  # sigma unconstrained = log sigma
+    got = float(logdensity(u))
+
+    sigma = np.exp(-0.5)
+    hand = (
+        sps.norm(0, 1).logpdf(0.7)
+        + sps.norm(0, 1).logpdf(-0.2)
+        + sps.halfnorm(scale=1.0).logpdf(sigma)
+        + (-0.5)  # log|d sigma/du| = u
+        + sps.norm(0.7 * x - 0.2, sigma).logpdf(y).sum()
+    )
+    np.testing.assert_allclose(got, hand, rtol=1e-5)
+
+    c = constrain(u)
+    np.testing.assert_allclose(float(c["sigma"]), sigma, rtol=1e-6)
+
+
+def test_logjoint_is_jittable_and_differentiable():
+    x = jnp.linspace(-2, 2, 10)
+    y = jnp.sin(x)
+    _, logdensity, _, _ = build_logjoint(linreg_model, x, y)
+    u = {"w": jnp.asarray(0.1), "b": jnp.asarray(0.0),
+         "sigma": jnp.asarray(0.0)}
+    lp = jax.jit(logdensity)(u)
+    assert jnp.isfinite(lp)
+    g = jax.grad(logdensity)(u)
+    assert set(g) == set(u)
+    assert all(jnp.isfinite(v) for v in jax.tree_util.tree_leaves(g))
+
+
+def test_hierarchical_dependencies_replay():
+    """Downstream dists must see substituted upstream values."""
+
+    def m():
+        tau = sample("tau", dist.HalfNormal(1.0))
+        sample("theta", dist.Normal(0.0, tau))
+
+    _, logdensity, _, _ = build_logjoint(m)
+    u = {"tau": jnp.asarray(0.3), "theta": jnp.asarray(1.2)}
+    tau = np.exp(0.3)
+    hand = (
+        sps.halfnorm(scale=1.0).logpdf(tau) + 0.3
+        + sps.norm(0, tau).logpdf(1.2)
+    )
+    np.testing.assert_allclose(float(logdensity(u)), hand, rtol=1e-5)
+
+
+def test_plate_subsample_scaling_unbiased():
+    n = 40
+    y = jnp.asarray(np.random.default_rng(1).normal(2.0, 1.0, n))
+
+    def m():
+        mu = sample("mu", dist.Normal(0.0, 10.0))
+        with plate("data", n, subsample_size=8) as idx:
+            sample("obs", dist.Normal(mu, 1.0), obs=y[idx])
+
+    info, logdensity, _, _ = build_logjoint(m)
+    assert info.has_subsample
+    u = {"mu": jnp.asarray(1.7)}
+
+    full = float(
+        sps.norm(0, 10).logpdf(1.7) + sps.norm(1.7, 1.0).logpdf(np.asarray(y)).sum()
+    )
+    # E over minibatches == full-data logdensity
+    ests = [
+        float(logdensity(u, rng_key=jax.random.PRNGKey(i)))
+        for i in range(400)
+    ]
+    se = np.std(ests) / np.sqrt(len(ests))
+    assert abs(np.mean(ests) - full) < 4 * se + 1e-6
+
+    # forcing indices reproduces exactly
+    idx = jnp.arange(8)
+    got = float(logdensity(u, subsample={"data__idx": idx}))
+    hand = float(
+        sps.norm(0, 10).logpdf(1.7)
+        + 5.0 * sps.norm(1.7, 1.0).logpdf(np.asarray(y[:8])).sum()
+    )
+    np.testing.assert_allclose(got, hand, rtol=1e-5)
+
+
+def test_factor_and_deterministic():
+    def m():
+        a = sample("a", dist.Normal(0.0, 1.0))
+        deterministic("a2", a * 2)
+        factor("penalty", -0.5 * a * a)
+
+    info, logdensity, _, postprocess = build_logjoint(m)
+    u = {"a": jnp.asarray(1.0)}
+    hand = sps.norm(0, 1).logpdf(1.0) - 0.5
+    np.testing.assert_allclose(float(logdensity(u)), hand, rtol=1e-5)
+    post = postprocess(u)
+    np.testing.assert_allclose(float(post["a2"]), 2.0)
+
+
+def test_constrained_multivariate_sites():
+    def m():
+        p = sample("p", dist.Dirichlet(jnp.ones(3)))
+        sample("c", dist.Categorical(probs=p), obs=jnp.array([0, 1, 2, 1]))
+
+    info, logdensity, constrain, _ = build_logjoint(m)
+    assert info.unconstrained_shapes["p"] == (2,)
+    u = {"p": jnp.asarray([0.3, -0.1])}
+    c = constrain(u)
+    np.testing.assert_allclose(float(c["p"].sum()), 1.0, rtol=1e-6)
+    assert jnp.isfinite(logdensity(u))
+
+
+def test_discrete_latent_rejected():
+    def m():
+        z = sample("z", dist.Bernoulli(probs=0.5))
+        sample("x", dist.Normal(z.astype(jnp.float32), 1.0), obs=jnp.asarray(0.3))
+
+    try:
+        inspect_model(m)
+        raise AssertionError("expected ValueError for discrete latent")
+    except ValueError:
+        pass
+
+
+def test_init_strategies():
+    x = jnp.linspace(-1, 1, 5)
+    y = jnp.zeros(5)
+    info, logdensity, _, _ = build_logjoint(linreg_model, x, y)
+    u0 = init_to_uniform(info, KEY)
+    assert set(u0) == set(info.latent_names)
+    assert all(jnp.all(jnp.abs(v) <= 2.0) for v in u0.values())
+    u1 = init_to_prior(linreg_model, info, x, y, rng_key=KEY)
+    assert jnp.isfinite(logdensity(u1))
+
+
+def test_potential_flat_view():
+    x = jnp.linspace(-1, 1, 5)
+    y = jnp.zeros(5)
+    info, logdensity, _, _ = build_logjoint(linreg_model, x, y)
+    u0 = init_to_uniform(info, KEY)
+    pot = Potential(logdensity, u0)
+    assert pot.dim == 3
+    q = jnp.zeros(pot.dim)
+    v, g = pot.value_and_grad(q)
+    assert jnp.isfinite(v) and g.shape == (3,)
+    np.testing.assert_allclose(float(v), -float(logdensity(pot.unravel(q))),
+                               rtol=1e-6)

@@ -1,0 +1,139 @@
+"""SVI golden-posterior tests (SURVEY.md §4.3): conjugate models with
+analytic posteriors; mini-batch subsampling; STL gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import bayesic_tpu.dist as dist
+from bayesic_tpu.core import plate, sample
+from bayesic_tpu.infer.svi import SVI, FullRankGuide, MeanFieldGuide
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _normal_normal_posterior(y, prior_var, lik_var):
+    n = y.shape[0]
+    post_var = 1.0 / (1.0 / prior_var + n / lik_var)
+    post_mean = post_var * y.sum() / lik_var
+    return float(post_mean), float(np.sqrt(post_var))
+
+
+def test_meanfield_normal_normal():
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(2.0, 1.0, 50).astype(np.float32))
+
+    def model():
+        mu = sample("mu", dist.Normal(0.0, 10.0))
+        sample("obs", dist.Normal(mu, 1.0).expand((50,)).to_event(1), obs=y)
+
+    svi = SVI(model, MeanFieldGuide, optax.adam(0.05))
+    res = svi.run(KEY, 2000)
+    mean_u, std_u = svi.guide.stats(res.params)
+
+    post_mean, post_std = _normal_normal_posterior(np.asarray(y), 100.0, 1.0)
+    assert abs(float(mean_u["mu"]) - post_mean) < 0.03
+    np.testing.assert_allclose(float(std_u["mu"]), post_std, rtol=0.15)
+    # ELBO improved and is finite
+    assert np.isfinite(res.losses[-1])
+    assert res.losses[-1] < res.losses[0]
+
+
+def test_fullrank_recovers_correlated_posterior():
+    """Linear regression with known noise: posterior over (w, b) is Gaussian
+    with analytic mean and covariance; full-rank guide must match both."""
+    rng = np.random.default_rng(1)
+    n = 60
+    x = rng.normal(0.0, 1.0, n).astype(np.float32) + 1.0  # offset -> w,b correlated
+    w_true, b_true, sigma = 1.5, -0.7, 0.5
+    y = (w_true * x + b_true + rng.normal(0, sigma, n)).astype(np.float32)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    def model():
+        w = sample("w", dist.Normal(0.0, 2.0))
+        b = sample("b", dist.Normal(0.0, 2.0))
+        sample("obs", dist.Normal(w * xj + b, sigma).to_event(1), obs=yj)
+
+    # analytic Gaussian posterior: precision = X^T X / s^2 + prior_prec
+    X = np.stack([x, np.ones_like(x)], 1)
+    prec = X.T @ X / sigma**2 + np.eye(2) / 4.0
+    cov = np.linalg.inv(prec)
+    mean = cov @ (X.T @ y) / sigma**2
+
+    svi = SVI(model, FullRankGuide, optax.adam(0.03))
+    res = svi.run(KEY, 3000)
+    mean_u, _ = svi.guide.stats(res.params)
+    got_cov = np.asarray(svi.guide.covariance(res.params))
+
+    got_mean = np.array([float(mean_u["w"]), float(mean_u["b"])])
+    np.testing.assert_allclose(got_mean, mean, atol=0.05)
+    np.testing.assert_allclose(got_cov, cov, rtol=0.35, atol=5e-4)
+    # off-diagonal correlation must be captured (meanfield could not)
+    corr = got_cov[0, 1] / np.sqrt(got_cov[0, 0] * got_cov[1, 1])
+    ref_corr = cov[0, 1] / np.sqrt(cov[0, 0] * cov[1, 1])
+    assert abs(corr - ref_corr) < 0.15
+    assert abs(ref_corr) > 0.3  # the test is only meaningful if correlated
+
+
+def test_minibatch_svi_matches_fullbatch_posterior():
+    rng = np.random.default_rng(2)
+    n = 400
+    y = jnp.asarray(rng.normal(-1.0, 1.0, n).astype(np.float32))
+
+    def model():
+        mu = sample("mu", dist.Normal(0.0, 10.0))
+        with plate("data", n, subsample_size=50) as idx:
+            sample("obs", dist.Normal(mu, 1.0), obs=y[idx])
+
+    svi = SVI(model, MeanFieldGuide,
+              optax.adam(optax.cosine_decay_schedule(0.05, 4000)))
+    res = svi.run(KEY, 4000)
+    mean_u, std_u = svi.guide.stats(res.params)
+
+    post_mean, post_std = _normal_normal_posterior(np.asarray(y), 100.0, 1.0)
+    assert abs(float(mean_u["mu"]) - post_mean) < 0.08
+    np.testing.assert_allclose(float(std_u["mu"]), post_std, rtol=0.3)
+
+
+def test_constrained_site_svi():
+    """Posterior over a positive scale parameter (conjugate inverse-gamma)."""
+    rng = np.random.default_rng(3)
+    n = 200
+    sigma_true = 2.0
+    y = jnp.asarray(rng.normal(0.0, sigma_true, n).astype(np.float32))
+
+    def model():
+        # var ~ InvGamma(a0, b0); y | var ~ N(0, sqrt(var))
+        var = sample("var", dist.InverseGamma(3.0, 3.0))
+        sample("obs", dist.Normal(0.0, jnp.sqrt(var)).expand((n,)).to_event(1),
+               obs=y)
+
+    a_n = 3.0 + n / 2.0
+    b_n = 3.0 + float(jnp.sum(y * y)) / 2.0
+    post_mean_var = b_n / (a_n - 1.0)
+
+    svi = SVI(model, MeanFieldGuide, optax.adam(0.02))
+    res = svi.run(KEY, 3000)
+    samples = svi.sample_posterior(res.params, jax.random.PRNGKey(9), 4000)
+    got = float(jnp.mean(samples["var"]))
+    np.testing.assert_allclose(got, post_mean_var, rtol=0.1)
+
+
+def test_multi_particle_elbo_variance():
+    y = jnp.asarray(np.random.default_rng(4).normal(1.0, 1.0, 30)
+                    .astype(np.float32))
+
+    def model():
+        mu = sample("mu", dist.Normal(0.0, 5.0))
+        sample("obs", dist.Normal(mu, 1.0).expand((30,)).to_event(1), obs=y)
+
+    svi1 = SVI(model, MeanFieldGuide, optax.adam(0.05), num_particles=1)
+    svi8 = SVI(model, MeanFieldGuide, optax.adam(0.05), num_particles=8)
+    r1 = svi1.run(KEY, 500)
+    r8 = svi8.run(KEY, 500)
+    # both converge to the same ELBO neighborhood; 8-particle trace is smoother
+    tail1 = np.asarray(r1.losses[-100:])
+    tail8 = np.asarray(r8.losses[-100:])
+    assert abs(tail1.mean() - tail8.mean()) < 1.0
+    assert tail8.std() < tail1.std() * 1.05
