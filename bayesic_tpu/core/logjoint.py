@@ -126,7 +126,8 @@ def build_logjoint(model, *args, **kwargs):
     """
     info = inspect_model(model, *args, **kwargs)
 
-    def _replay(uparams, rng_key, subsample):
+    def _replay(uparams, rng_key, subsample, model_args=None,
+                model_kwargs=None):
         values = {
             n: info.transforms[n].forward(uparams[n])
             for n in info.latent_names
@@ -135,15 +136,21 @@ def build_logjoint(model, *args, **kwargs):
         if subsample:
             data.update(subsample)
         key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+        call_args = args if model_args is None else model_args
+        call_kwargs = kwargs if model_kwargs is None else model_kwargs
         tr = handlers.trace(
             handlers.substitute(
                 handlers.seed(model, rng_key=key), data=data
             )
-        ).get_trace(*args, **kwargs)
+        ).get_trace(*call_args, **call_kwargs)
         return tr, values
 
-    def logdensity(uparams, rng_key=None, subsample=None):
-        tr, _ = _replay(uparams, rng_key, subsample)
+    def logdensity(uparams, rng_key=None, subsample=None, model_args=None,
+                   model_kwargs=None):
+        # model_args/model_kwargs override the build-time arguments; pass the
+        # (sharded) data pytree here so it is a traced jit input rather than a
+        # baked constant (SURVEY.md C12: data-parallel SVI).
+        tr, _ = _replay(uparams, rng_key, subsample, model_args, model_kwargs)
         total = jnp.zeros((), jnp.result_type(float))
         for name, site in tr.items():
             if site["type"] == "sample":
@@ -155,6 +162,27 @@ def build_logjoint(model, *args, **kwargs):
             elif site["type"] == "factor":
                 total = total + site["scale"] * jnp.sum(site["value"])
         return total
+
+    def logdensity_parts(uparams, rng_key=None, subsample=None,
+                         model_args=None, model_kwargs=None):
+        """(log prior + Jacobians, log likelihood) — the split tempered SMC
+        needs (SURVEY.md C9: p_beta ∝ prior · lik^beta)."""
+        tr, _ = _replay(uparams, rng_key, subsample, model_args, model_kwargs)
+        ftype = jnp.result_type(float)
+        log_prior = jnp.zeros((), ftype)
+        log_lik = jnp.zeros((), ftype)
+        for name, site in tr.items():
+            if site["type"] == "sample":
+                lp = site["scale"] * jnp.sum(site["dist"].log_prob(
+                    site["value"]))
+                if site["is_observed"]:
+                    log_lik = log_lik + lp
+                else:
+                    ldj = info.transforms[name].log_det_jacobian(uparams[name])
+                    log_prior = log_prior + lp + site["scale"] * jnp.sum(ldj)
+            elif site["type"] == "factor":
+                log_lik = log_lik + site["scale"] * jnp.sum(site["value"])
+        return log_prior, log_lik
 
     def constrain(uparams):
         return {
@@ -169,6 +197,7 @@ def build_logjoint(model, *args, **kwargs):
             out[n] = tr[n]["value"]
         return out
 
+    logdensity.parts = logdensity_parts
     return info, logdensity, constrain, postprocess
 
 

@@ -1,0 +1,264 @@
+"""MCMC driver: warmup + sampling as two compiled XLA programs, chains
+vectorized with vmap and shardable over a mesh axis.
+
+Blueprint: SURVEY.md C8 + §3.2 call stack: "warmup: jit(scan over warmup
+steps) ... sampling: jit(scan over num_samples); thinned states written to
+sharded output buffer; zero per-step collectives during sampling".  Chain
+parallelism (SURVEY.md C13a): every per-chain quantity is keyed by *logical*
+chain index (fold_in), never by device, so any sharding of the chain axis
+yields identical samples (§7 hard-part 3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ...core.logjoint import build_logjoint, init_to_uniform
+from ...utils import diagnostics as diag
+from .adapt import (
+    build_schedule,
+    da_init,
+    da_update,
+    welford_finalize,
+    welford_init,
+    welford_update,
+)
+from .hmc import make_hmc_kernel
+from .integrators import IntegratorState
+from .nuts import make_nuts_kernel
+
+__all__ = ["MCMC", "MCMCResult"]
+
+
+class MCMCResult(NamedTuple):
+    samples: dict            # site -> (chains, samples, *event) constrained
+    extra: dict              # divergences, accept_prob, depth, step_size, inv_mass
+    unconstrained: jax.Array  # (chains, samples, dim)
+
+
+class _WarmupCarry(NamedTuple):
+    state: IntegratorState   # batched over chains
+    da: Any
+    wf: Any
+    inv_mass: jax.Array
+    step_size: jax.Array
+
+
+class MCMC:
+    """NUTS/HMC driver.
+
+    Parameters mirror the capability surface in SURVEY.md C8: multinomial
+    NUTS with dual-averaging step size + windowed Welford (diag or dense)
+    mass adaptation, divergence accounting, many vectorized chains.
+    """
+
+    def __init__(self, model=None, *, potential_and_grad=None, example_q=None,
+                 unravel=None, constrain=None,
+                 kernel="nuts", num_warmup=1000, num_samples=1000,
+                 num_chains=4, max_depth=10, target_accept=0.8,
+                 dense_mass=False, init_step_size=0.1, thin=1,
+                 hmc_num_steps=32, model_args=(), model_kwargs=None,
+                 chain_sharding=None):
+        self.num_warmup = int(num_warmup)
+        self.num_samples = int(num_samples)
+        self.num_chains = int(num_chains)
+        self.thin = int(thin)
+        self.target_accept = float(target_accept)
+        self.dense_mass = bool(dense_mass)
+        self.init_step_size = float(init_step_size)
+        self.chain_sharding = chain_sharding
+
+        if model is not None:
+            info, logdensity, constrain_fn, _ = build_logjoint(
+                model, *model_args, **(model_kwargs or {})
+            )
+            from ..svi.guides import unraveler
+            dim, unravel_fn, _ = unraveler(info)
+            self.info = info
+            self.dim = dim
+            self._unravel = unravel_fn
+
+            def pag(q):
+                return jax.value_and_grad(
+                    lambda qq: -logdensity(unravel_fn(qq))
+                )(q)
+
+            self._potential_and_grad = pag
+            self._constrain = lambda q: constrain_fn(unravel_fn(q))
+        else:
+            if potential_and_grad is None or example_q is None:
+                raise ValueError(
+                    "pass either model= or (potential_and_grad=, example_q=)"
+                )
+            self.info = None
+            self.dim = int(np.prod(jnp.shape(example_q)))
+            self._potential_and_grad = potential_and_grad
+            self._unravel = unravel or (lambda q: q)
+            self._constrain = constrain or (lambda q: {"q": q})
+
+        if kernel == "nuts":
+            self._kernel = make_nuts_kernel(
+                self._potential_and_grad, max_depth=max_depth
+            )
+        elif kernel == "hmc":
+            self._kernel = make_hmc_kernel(
+                self._potential_and_grad, num_steps=hmc_num_steps
+            )
+        else:
+            raise ValueError(f"unknown kernel {kernel!r}")
+
+    # ------------------------------------------------------------------
+    def _init_states(self, key, init_params=None):
+        def one(i):
+            k = jax.random.fold_in(key, i)
+            if init_params is not None:
+                q = init_params[i]
+            elif self.info is not None:
+                u = init_to_uniform(self.info, k)
+                from ..svi.guides import unraveler
+                _, _, ravel = unraveler(self.info)
+                q = ravel(u)
+            else:
+                q = jax.random.uniform(k, (self.dim,), minval=-2.0,
+                                       maxval=2.0)
+            pe, grad = self._potential_and_grad(q)
+            return IntegratorState(q, jnp.zeros_like(q), pe, grad)
+
+        states = jax.vmap(one)(jnp.arange(self.num_chains))
+        if self.chain_sharding is not None:
+            states = jax.device_put(states, self.chain_sharding)
+        return states
+
+    def _initial_mass(self):
+        if self.dense_mass:
+            return jnp.eye(self.dim)
+        return jnp.ones(self.dim)
+
+    # ------------------------------------------------------------------
+    def warmup_and_sample(self, key):
+        """Build the full (jit-able) warmup+sampling computation."""
+        key_init, key_warm, key_samp = jax.random.split(key, 3)
+        states = self._init_states(key_init)
+
+        in_slow, window_end = build_schedule(self.num_warmup)
+        in_slow = jnp.asarray(in_slow)
+        window_end = jnp.asarray(window_end)
+
+        inv_mass0 = jnp.broadcast_to(
+            self._initial_mass(),
+            (self.num_chains,) + self._initial_mass().shape,
+        )
+        da0 = jax.vmap(lambda _: da_init(jnp.asarray(self.init_step_size)))(
+            jnp.arange(self.num_chains)
+        )
+        wf0 = jax.vmap(
+            lambda _: welford_init(self.dim, dense=self.dense_mass)
+        )(jnp.arange(self.num_chains))
+
+        kernel = self._kernel
+        target = self.target_accept
+
+        def warm_step(carry: _WarmupCarry, t):
+            keys = jax.vmap(
+                lambda c: jax.random.fold_in(jax.random.fold_in(key_warm, t),
+                                             c)
+            )(jnp.arange(self.num_chains))
+            eps = jnp.exp(carry.da.log_step)
+            state, info = jax.vmap(kernel)(keys, carry.state, eps,
+                                           carry.inv_mass)
+            da = jax.vmap(
+                lambda d, a: da_update(d, a, target=target)
+            )(carry.da, info.accept_prob)
+            # Welford accumulate in slow windows
+            wf_new = jax.vmap(welford_update)(carry.wf, state.q)
+            wf = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(in_slow[t], new, old),
+                wf_new, carry.wf,
+            )
+            # window close: refresh inv_mass, reset welford, re-init DA
+            new_inv_mass = jax.vmap(welford_finalize)(wf)
+            inv_mass = jnp.where(
+                window_end[t], new_inv_mass, carry.inv_mass
+            )
+            wf_reset = jax.vmap(
+                lambda _: welford_init(self.dim, dense=self.dense_mass)
+            )(jnp.arange(self.num_chains))
+            wf = jax.tree_util.tree_map(
+                lambda r, k: jnp.where(window_end[t], r, k), wf_reset, wf
+            )
+            da_reset = jax.vmap(da_init)(jnp.exp(da.log_step))
+            da = jax.tree_util.tree_map(
+                lambda r, k: jnp.where(window_end[t], r, k), da_reset, da
+            )
+            new_carry = _WarmupCarry(
+                state, da, wf, inv_mass, jnp.exp(da.log_step)
+            )
+            return new_carry, info.accept_prob
+
+        def sample_step(carry, t):
+            state, step_size, inv_mass = carry
+            keys = jax.vmap(
+                lambda c: jax.random.fold_in(jax.random.fold_in(key_samp, t),
+                                             c)
+            )(jnp.arange(self.num_chains))
+            state, info = jax.vmap(kernel)(keys, state, step_size, inv_mass)
+            collect = (
+                state.q, info.diverging, info.accept_prob,
+                getattr(info, "depth", jnp.zeros_like(info.diverging,
+                                                      jnp.int32)),
+                info.num_steps,
+            )
+            return (state, step_size, inv_mass), collect
+
+        def run_all():
+            carry0 = _WarmupCarry(
+                states, da0, wf0, inv_mass0,
+                jnp.full((self.num_chains,), self.init_step_size),
+            )
+            carry, _ = lax.scan(
+                warm_step, carry0, jnp.arange(self.num_warmup)
+            )
+            step_size = jnp.exp(carry.da.log_step_avg)
+            samp0 = (carry.state, step_size, carry.inv_mass)
+            _, collected = lax.scan(
+                sample_step, samp0, jnp.arange(self.num_samples)
+            )
+            qs, divs, accs, depths, nsteps = collected
+            return qs, divs, accs, depths, nsteps, step_size, carry.inv_mass
+
+        return run_all
+
+    def run(self, key, jit=True) -> MCMCResult:
+        run_all = self.warmup_and_sample(key)
+        if jit:
+            run_all = jax.jit(run_all)
+        qs, divs, accs, depths, nsteps, step_size, inv_mass = run_all()
+        # qs: (num_samples, chains, dim) -> (chains, num_samples, dim)
+        qs = jnp.swapaxes(qs, 0, 1)
+        if self.thin > 1:
+            qs = qs[:, ::self.thin]
+        flat = qs.reshape(-1, self.dim)
+        cons = jax.vmap(self._constrain)(flat)
+        samples = {
+            name: v.reshape(qs.shape[:2] + v.shape[1:])
+            for name, v in cons.items()
+        }
+        extra = {
+            "diverging": jnp.swapaxes(divs, 0, 1),
+            "accept_prob": jnp.swapaxes(accs, 0, 1),
+            "tree_depth": jnp.swapaxes(depths, 0, 1),
+            "num_steps": jnp.swapaxes(nsteps, 0, 1),
+            "step_size": step_size,
+            "inv_mass": inv_mass,
+        }
+        return MCMCResult(samples, extra, qs)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def summary(result: MCMCResult):
+        return diag.summary(result.samples)

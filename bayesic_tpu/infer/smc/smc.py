@@ -1,0 +1,246 @@
+"""Adaptive tempered SMC with systematic resampling and HMC mutation.
+
+Blueprint: SURVEY.md C9 + §3.3 call stack (BASELINE.json north_star: "SMC
+... sharded particles ... systematic resampling driven by cross-host
+collectives"; configs[3] GMM-via-SMC).
+
+Algorithm (one jit-compiled ``while_loop`` over tempering stages):
+
+1. adapt Δβ by bisection so the post-reweight ESS hits ``ess_target·N``
+   (fixed 26-iteration bisection — no dynamic control flow);
+2. reweight  log w += Δβ · loglik(particle);
+3. resample (systematic, shared stratified offset) when ESS < threshold —
+   computed unconditionally and selected by ``where`` so the collective
+   pattern is identical on every shard (SURVEY.md §5 collective-symmetry
+   rule);
+4. mutate with K HMC steps targeting p_β ∝ prior · lik^β, with
+   acceptance-driven step-size adaptation.
+
+Particles are a flat (N, dim) array in unconstrained space; shard the leading
+axis over the mesh's ``particle`` axis and jit — XLA inserts the psum/gather
+collectives (C13b).  Log-evidence is accumulated per stage
+(logΣ W_i·lik_i^Δβ), giving the marginal-likelihood estimate tested against
+conjugate models (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import logsumexp
+
+from ...core.logjoint import build_logjoint, init_to_prior
+from ...parallel.resample import (
+    effective_sample_size,
+    normalize_log_weights,
+    systematic_ancestors,
+)
+from ..svi.guides import unraveler
+
+__all__ = ["SMC", "SMCResult"]
+
+
+class SMCResult(NamedTuple):
+    particles: dict          # constrained, (N, *event)
+    log_weights: jax.Array   # final normalized log weights (N,)
+    log_evidence: jax.Array  # marginal likelihood estimate
+    num_stages: jax.Array
+    accept_rate: jax.Array   # final-stage mutation acceptance
+    unconstrained: jax.Array  # (N, dim)
+
+
+class _SMCCarry(NamedTuple):
+    q: jax.Array             # (N, dim)
+    log_w: jax.Array         # (N,) unnormalized within stage
+    beta: jax.Array
+    log_evidence: jax.Array
+    stage: jax.Array
+    step_size: jax.Array
+    accept: jax.Array
+
+
+class SMC:
+    def __init__(self, model, num_particles=1024, ess_target=0.5,
+                 resample_threshold=0.5, mutation_steps=5,
+                 hmc_leapfrog_steps=5, max_stages=100, init_step_size=0.2,
+                 target_accept=0.65, model_args=(), model_kwargs=None,
+                 particle_sharding=None):
+        self.model = model
+        self.n = int(num_particles)
+        self.ess_target = float(ess_target)
+        self.resample_threshold = float(resample_threshold)
+        self.mutation_steps = int(mutation_steps)
+        self.leapfrog_steps = int(hmc_leapfrog_steps)
+        self.max_stages = int(max_stages)
+        self.init_step_size = float(init_step_size)
+        self.target_accept = float(target_accept)
+        self.particle_sharding = particle_sharding
+        self._model_args = model_args
+        self._model_kwargs = model_kwargs or {}
+
+        self.info, self.logdensity, self._constrain, _ = build_logjoint(
+            model, *model_args, **self._model_kwargs
+        )
+        self.dim, self._unravel, self._ravel = unraveler(self.info)
+        parts = self.logdensity.parts
+
+        def logprior_flat(q):
+            lp, _ = parts(self._unravel(q))
+            return lp
+
+        def loglik_flat(q):
+            _, ll = parts(self._unravel(q))
+            return ll
+
+        self._logprior = jax.vmap(logprior_flat)
+        self._loglik = jax.vmap(loglik_flat)
+        self._logprior1 = logprior_flat
+        self._loglik1 = loglik_flat
+
+    # ------------------------------------------------------------------
+    def _init_particles(self, key):
+        def one(i):
+            k = jax.random.fold_in(key, i)
+            u = init_to_prior(
+                self.model, self.info, *self._model_args,
+                rng_key=k, **self._model_kwargs,
+            )
+            return self._ravel(u)
+
+        q = jax.vmap(one)(jnp.arange(self.n))
+        if self.particle_sharding is not None:
+            q = jax.device_put(q, self.particle_sharding)
+        return q
+
+    def _next_beta(self, beta, loglik):
+        """Bisection: largest Δβ with ESS(Δβ·loglik) >= ess_target·N."""
+        target = self.ess_target * self.n
+
+        def ess_at(delta):
+            return effective_sample_size(delta * loglik)
+
+        def body(_, bounds):
+            lo, hi = bounds
+            mid = 0.5 * (lo + hi)
+            ok = ess_at(mid) >= target
+            return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+        lo0 = jnp.zeros_like(beta)
+        hi0 = 1.0 - beta
+        # accept full jump if even beta=1 keeps ESS above target
+        full_ok = ess_at(hi0) >= target
+        lo, hi = lax.fori_loop(0, 26, body, (lo0, hi0))
+        delta = jnp.where(full_ok, hi0, lo)
+        return jnp.minimum(beta + delta, 1.0)
+
+    def _mutate(self, key, q, beta, step_size):
+        """K HMC transitions targeting p_beta; returns (q, mean accept)."""
+
+        def potential(qi, b):
+            return -(self._logprior1(qi) + b * self._loglik1(qi))
+
+        pag = jax.value_and_grad(potential)
+
+        def one_hmc(carry, t):
+            qs, acc_sum = carry
+            keys = jax.vmap(
+                lambda i: jax.random.fold_in(
+                    jax.random.fold_in(key, t), i
+                )
+            )(jnp.arange(self.n))
+
+            def chain_step(k, qi):
+                k1, k2 = jax.random.split(k)
+                p0 = jax.random.normal(k1, qi.shape, qi.dtype)
+                pe0, g0 = pag(qi, beta)
+                h0 = pe0 + 0.5 * jnp.sum(p0 * p0)
+
+                def leap(_, s):
+                    qq, pp, gg = s
+                    pp = pp - 0.5 * step_size * gg
+                    qq = qq + step_size * pp
+                    _, gg = pag(qq, beta)
+                    pp = pp - 0.5 * step_size * gg
+                    return qq, pp, gg
+
+                qe, pe_, ge = lax.fori_loop(
+                    0, self.leapfrog_steps, leap, (qi, p0, g0)
+                )
+                pe1, _ = pag(qe, beta)
+                h1 = pe1 + 0.5 * jnp.sum(pe_ * pe_)
+                delta = jnp.where(jnp.isnan(h1 - h0), jnp.inf, h1 - h0)
+                a = jnp.minimum(1.0, jnp.exp(-delta))
+                take = jax.random.uniform(k2) < a
+                return jnp.where(take, qe, qi), a
+
+            qs, accs = jax.vmap(chain_step)(keys, qs)
+            return (qs, acc_sum + jnp.mean(accs)), None
+
+        (q_new, acc_sum), _ = lax.scan(
+            one_hmc, (q, jnp.zeros(())), jnp.arange(self.mutation_steps)
+        )
+        return q_new, acc_sum / self.mutation_steps
+
+    # ------------------------------------------------------------------
+    def run(self, key, jit=True) -> SMCResult:
+        key_init, key_loop = jax.random.split(key)
+
+        def full():
+            q0 = self._init_particles(key_init)
+            carry0 = _SMCCarry(
+                q0, jnp.zeros(self.n), jnp.zeros(()), jnp.zeros(()),
+                jnp.zeros((), jnp.int32),
+                jnp.asarray(self.init_step_size), jnp.ones(()),
+            )
+
+            def cond(c: _SMCCarry):
+                return jnp.logical_and(c.beta < 1.0,
+                                       c.stage < self.max_stages)
+
+            def body(c: _SMCCarry):
+                k_stage = jax.random.fold_in(key_loop, c.stage)
+                k_res, k_mut = jax.random.split(k_stage)
+
+                ll = self._loglik(c.q)
+                new_beta = self._next_beta(c.beta, ll)
+                delta = new_beta - c.beta
+
+                # evidence increment: log sum_i W_i lik_i^delta
+                logw_norm = normalize_log_weights(c.log_w)
+                log_ev_inc = logsumexp(logw_norm + delta * ll)
+                log_w = c.log_w + delta * ll
+
+                # systematic resampling, collective-symmetric
+                ess = effective_sample_size(log_w)
+                do_resample = ess < self.resample_threshold * self.n
+                anc = systematic_ancestors(k_res, log_w)
+                q_res = jnp.take(c.q, anc, axis=0)
+                q = jnp.where(do_resample, q_res, c.q)
+                log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w)
+
+                # HMC mutation at the new temperature
+                q, accept = self._mutate(k_mut, q, new_beta, c.step_size)
+                step_size = c.step_size * jnp.exp(
+                    0.5 * (accept - self.target_accept)
+                )
+                step_size = jnp.clip(step_size, 1e-4, 2.0)
+
+                return _SMCCarry(
+                    q, log_w, new_beta, c.log_evidence + log_ev_inc,
+                    c.stage + 1, step_size, accept,
+                )
+
+            return lax.while_loop(cond, body, carry0)
+
+        if jit:
+            full = jax.jit(full)
+        out = full()
+
+        cons = jax.vmap(lambda q: self._constrain(self._unravel(q)))(out.q)
+        return SMCResult(
+            cons, normalize_log_weights(out.log_w), out.log_evidence,
+            out.stage, out.accept, out.q,
+        )

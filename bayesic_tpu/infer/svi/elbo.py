@@ -38,12 +38,13 @@ def make_elbo(logdensity, guide, num_particles=1, stl=True, info=None):
     """Returns ``elbo(params, key, subsample=None) -> scalar`` (a stochastic
     lower bound estimate; maximise it)."""
 
-    def elbo(params, key, subsample=None):
+    def elbo(params, key, subsample=None, model_args=None):
         uparams, logq = guide.sample_and_log_prob(
             params, key, (num_particles,), stop_gradient_q=stl
         )
         logp = jax.vmap(
-            lambda u: logdensity(u, subsample=subsample)
+            lambda u: logdensity(u, subsample=subsample,
+                                 model_args=model_args)
         )(uparams)
         return jnp.mean(logp - logq)
 

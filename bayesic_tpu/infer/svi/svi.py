@@ -76,7 +76,7 @@ class SVI:
         opt_state = self.optimizer.init(params)
         return SVIState(params, opt_state, key, jnp.zeros((), jnp.int32))
 
-    def step(self, state: SVIState):
+    def step(self, state: SVIState, model_args=None):
         key, key_q, key_b = jax.random.split(state.key, 3)
         subsample = (
             draw_subsample(self.info, key_b)
@@ -84,7 +84,8 @@ class SVI:
         )
 
         def loss_fn(params):
-            return -self.elbo(params, key_q, subsample=subsample)
+            return -self.elbo(params, key_q, subsample=subsample,
+                              model_args=model_args)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         if self.grad_transform is not None:
@@ -96,19 +97,26 @@ class SVI:
         return SVIState(params, opt_state, key, state.step + 1), loss
 
     # -- fused run ---------------------------------------------------------
-    def run(self, key, num_steps, jit=True) -> SVIResult:
-        state = self.init(key)
+    def run(self, key, num_steps, jit=True, model_args=None,
+            state=None) -> SVIResult:
+        """Run ``num_steps`` fused steps.  Pass the (possibly sharded) data
+        pytree as ``model_args`` to make it a traced jit input — the
+        data-parallel path (SURVEY.md C12): shard it over the mesh's
+        ``data`` axis, keep params replicated, and XLA emits the grad psum.
+        """
+        if state is None:
+            state = self.init(key)
 
-        def scan_step(carry, _):
-            new_state, loss = self.step(carry)
-            return new_state, loss
+        def full(state, margs):
+            def scan_step(carry, _):
+                new_state, loss = self.step(carry, model_args=margs)
+                return new_state, loss
 
-        def full(state):
             return jax.lax.scan(scan_step, state, None, length=num_steps)
 
         if jit:
             full = jax.jit(full)
-        state, losses = full(state)
+        state, losses = full(state, model_args)
         return SVIResult(state.params, losses, state)
 
     # -- posterior access ---------------------------------------------------

@@ -1,0 +1,184 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4.5).
+
+Golden rule tested explicitly: sharded result == single-device result
+(allclose; bit-identical ancestor vectors for the resampler), because all
+randomness is keyed by logical index, never by device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import bayesic_tpu.dist as dist
+from bayesic_tpu.core import plate, sample
+from bayesic_tpu.infer.mcmc import MCMC
+from bayesic_tpu.infer.smc import SMC
+from bayesic_tpu.infer.svi import SVI, MeanFieldGuide
+from bayesic_tpu.parallel import (
+    make_mesh,
+    put_sharded,
+    systematic_ancestors,
+    systematic_resample_shard_map,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh({"data": 2, "model": 4})
+    assert mesh.shape == {"data": 2, "model": 4}
+    mesh = make_mesh({"chain": -1})
+    assert mesh.shape == {"chain": 8}
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3})
+
+
+def test_sharded_resampler_matches_global():
+    """shard_map resampler == single-device resampler, bit-for-bit."""
+    n = 64
+    mesh = make_mesh({"particle": 8})
+    lw = jax.random.normal(jax.random.PRNGKey(1), (n,))
+    particles = {"x": jax.random.normal(jax.random.PRNGKey(2), (n, 3)),
+                 "y": jax.random.normal(jax.random.PRNGKey(3), (n,))}
+
+    anc_ref = systematic_ancestors(KEY, lw)
+    ref = jax.tree_util.tree_map(lambda x: jnp.take(x, anc_ref, 0), particles)
+
+    fn = systematic_resample_shard_map("particle")
+    sharded = jax.shard_map(
+        lambda k, w, p: fn(k, w, p),
+        mesh=mesh,
+        in_specs=(P(), P("particle"), P("particle")),
+        out_specs=(P("particle"), P("particle")),
+    )
+    lw_s = jax.device_put(lw, NamedSharding(mesh, P("particle")))
+    p_s = put_sharded(particles, mesh, "particle")
+    out, anc = sharded(KEY, lw_s, p_s)
+
+    np.testing.assert_array_equal(np.asarray(anc), np.asarray(anc_ref))
+    for k in particles:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=1e-6)
+
+
+def test_dp_svi_matches_single_device():
+    """Data sharded over 8 devices: same losses and params as unsharded
+    (XLA inserts the gradient reduction; params stay replicated)."""
+    rng = np.random.default_rng(0)
+    n = 256
+    x = rng.normal(0, 1, n).astype(np.float32)
+    y = (1.2 * x - 0.4 + rng.normal(0, 0.5, n)).astype(np.float32)
+
+    def model(xa, ya):
+        w = sample("w", dist.Normal(0.0, 2.0))
+        b = sample("b", dist.Normal(0.0, 2.0))
+        sample("obs", dist.Normal(w * xa + b, 0.5).to_event(1), obs=ya)
+
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    svi = SVI(model, MeanFieldGuide, optax.adam(0.05), model_args=(xj, yj))
+
+    res_single = svi.run(KEY, 300, model_args=(xj, yj))
+
+    mesh = make_mesh({"data": 8})
+    sh = NamedSharding(mesh, P("data"))
+    xs, ys = jax.device_put(xj, sh), jax.device_put(yj, sh)
+    res_sharded = svi.run(KEY, 300, model_args=(xs, ys))
+
+    np.testing.assert_allclose(
+        np.asarray(res_single.losses), np.asarray(res_sharded.losses),
+        rtol=2e-4, atol=2e-4,
+    )
+    for k in res_single.params:
+        np.testing.assert_allclose(
+            np.asarray(res_single.params[k]),
+            np.asarray(res_sharded.params[k]), rtol=2e-3, atol=2e-3,
+        )
+
+
+def test_sharded_chains_match_single_device():
+    """MCMC with the chain axis sharded over 8 devices == unsharded."""
+    yv = jnp.asarray(np.random.default_rng(1).normal(0.5, 1.0, 30)
+                     .astype(np.float32))
+
+    def model():
+        mu = sample("mu", dist.Normal(0.0, 5.0))
+        sample("obs", dist.Normal(mu, 1.0).expand((30,)).to_event(1), obs=yv)
+
+    mcmc_plain = MCMC(model=model, num_warmup=100, num_samples=100,
+                      num_chains=8, init_step_size=0.5)
+    res_plain = mcmc_plain.run(KEY)
+
+    mesh = make_mesh({"chain": 8})
+    mcmc_shard = MCMC(model=model, num_warmup=100, num_samples=100,
+                      num_chains=8, init_step_size=0.5,
+                      chain_sharding=NamedSharding(mesh, P("chain")))
+    res_shard = mcmc_shard.run(KEY)
+
+    np.testing.assert_allclose(
+        np.asarray(res_plain.unconstrained),
+        np.asarray(res_shard.unconstrained), rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_sharded_smc_matches_single_device():
+    yv = jnp.asarray(np.random.default_rng(2).normal(1.0, 1.0, 16)
+                     .astype(np.float32))
+
+    def model():
+        mu = sample("mu", dist.Normal(0.0, 3.0))
+        sample("obs", dist.Normal(mu, 1.0).expand((16,)).to_event(1), obs=yv)
+
+    smc_plain = SMC(model, num_particles=512, mutation_steps=2,
+                    hmc_leapfrog_steps=3)
+    r1 = smc_plain.run(KEY)
+
+    mesh = make_mesh({"particle": 8})
+    smc_shard = SMC(model, num_particles=512, mutation_steps=2,
+                    hmc_leapfrog_steps=3,
+                    particle_sharding=NamedSharding(mesh, P("particle")))
+    r2 = smc_shard.run(KEY)
+
+    np.testing.assert_allclose(float(r1.log_evidence),
+                               float(r2.log_evidence), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r1.unconstrained),
+                               np.asarray(r2.unconstrained),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_observation_sharded_logdensity():
+    """C13d: observation-dimension sharding — logdensity equal and grads
+    equal with data sharded over 'model' axis."""
+    rng = np.random.default_rng(3)
+    n = 128
+    y = jnp.asarray(rng.normal(0.3, 1.0, n).astype(np.float32))
+
+    def model(ya):
+        mu = sample("mu", dist.Normal(0.0, 10.0))
+        sample("obs", dist.Normal(mu, 1.0).expand(ya.shape).to_event(1),
+               obs=ya)
+
+    from bayesic_tpu.core import build_logjoint
+    _, logdensity, _, _ = build_logjoint(model, y)
+    u = {"mu": jnp.asarray(0.7)}
+
+    ref = jax.jit(
+        lambda uu, d: logdensity(uu, model_args=(d,))
+    )(u, y)
+    g_ref = jax.grad(lambda uu: logdensity(uu, model_args=(y,)))(u)
+
+    mesh = make_mesh({"model": 8})
+    ys = jax.device_put(y, NamedSharding(mesh, P("model")))
+    got = jax.jit(
+        lambda uu, d: logdensity(uu, model_args=(d,))
+    )(u, ys)
+    g_got = jax.grad(lambda uu: logdensity(uu, model_args=(ys,)))(u)
+
+    np.testing.assert_allclose(float(ref), float(got), rtol=1e-5)
+    np.testing.assert_allclose(float(g_ref["mu"]), float(g_got["mu"]),
+                               rtol=1e-5)

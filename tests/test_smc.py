@@ -1,0 +1,98 @@
+"""SMC tests (SURVEY.md §4.3): evidence vs analytic marginal likelihood on a
+conjugate model; posterior moments; resampler properties."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats as sps
+
+import bayesic_tpu.dist as dist
+from bayesic_tpu.core import sample
+from bayesic_tpu.infer.smc import SMC
+from bayesic_tpu.parallel.resample import (
+    effective_sample_size,
+    systematic_ancestors,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_systematic_resampler_unbiased():
+    """E[offspring count] = N * w_i over many seeds (SURVEY.md §4.9)."""
+    lw = jnp.log(jnp.asarray([0.1, 0.4, 0.2, 0.25, 0.05]))
+    n = 5
+    counts = np.zeros(n)
+    trials = 2000
+    for s in range(trials):
+        anc = np.asarray(systematic_ancestors(jax.random.PRNGKey(s), lw))
+        counts += np.bincount(anc, minlength=n)
+    freq = counts / (trials * n)
+    np.testing.assert_allclose(freq, np.exp(np.asarray(lw)), atol=0.01)
+
+
+def test_systematic_resampler_mass_preserving():
+    # equal weights -> identity-ish permutation, each particle exactly once
+    lw = jnp.zeros(16)
+    anc = np.asarray(systematic_ancestors(KEY, lw))
+    np.testing.assert_array_equal(np.sort(anc), np.arange(16))
+
+
+def test_ess():
+    assert abs(float(effective_sample_size(jnp.zeros(64))) - 64.0) < 1e-3
+    lw = jnp.asarray([0.0, -jnp.inf, -jnp.inf, -jnp.inf])
+    assert abs(float(effective_sample_size(lw)) - 1.0) < 1e-3
+
+
+def test_smc_conjugate_posterior_and_evidence():
+    rng = np.random.default_rng(0)
+    n = 20
+    tau = 3.0
+    y = rng.normal(1.0, 1.0, n).astype(np.float32)
+    yj = jnp.asarray(y)
+
+    def model():
+        mu = sample("mu", dist.Normal(0.0, tau))
+        sample("obs", dist.Normal(mu, 1.0).expand((n,)).to_event(1), obs=yj)
+
+    smc = SMC(model, num_particles=2048, mutation_steps=5,
+              hmc_leapfrog_steps=8)
+    res = smc.run(KEY)
+
+    # analytic posterior
+    post_var = 1.0 / (1.0 / tau**2 + n)
+    post_mean = post_var * y.sum()
+    w = np.exp(np.asarray(res.log_weights))
+    mu_s = np.asarray(res.particles["mu"])
+    est_mean = float((w * mu_s).sum())
+    est_var = float((w * (mu_s - est_mean) ** 2).sum())
+    assert abs(est_mean - post_mean) < 0.08
+    np.testing.assert_allclose(np.sqrt(est_var), np.sqrt(post_var), rtol=0.2)
+
+    # analytic evidence: y ~ MVN(0, I + tau^2 J)
+    cov = np.eye(n) + tau**2 * np.ones((n, n))
+    log_z = sps.multivariate_normal(np.zeros(n), cov).logpdf(y)
+    assert abs(float(res.log_evidence) - log_z) < 0.35
+
+    assert float(res.num_stages) >= 2  # actually tempered
+    assert 0.2 < float(res.accept_rate) <= 1.0
+
+
+def test_smc_bimodal_target():
+    """SMC must keep both modes of a symmetric bimodal posterior (where a
+    single HMC chain would typically stick to one)."""
+
+    def model():
+        x = sample("x", dist.Normal(0.0, 10.0))
+        # likelihood exp(-(x^2-4)^2/2): modes at +-2
+        from bayesic_tpu.core import factor
+        factor("lik", -0.5 * (x * x - 4.0) ** 2)
+
+    smc = SMC(model, num_particles=4096, mutation_steps=3,
+              hmc_leapfrog_steps=5)
+    res = smc.run(jax.random.PRNGKey(5))
+    w = np.exp(np.asarray(res.log_weights))
+    x = np.asarray(res.particles["x"])
+    p_right = float(w[x > 0].sum())
+    assert 0.35 < p_right < 0.65  # both modes retained, roughly symmetric
+    # modes near +-2
+    assert abs(float((w * np.abs(x)).sum()) - 2.0) < 0.2
