@@ -39,6 +39,9 @@ class ModelInfo(NamedTuple):
     unconstrained_shapes: dict  # latent name -> unconstrained shape
     has_subsample: bool
     subsample_sites: dict     # "{plate}__idx" -> (size, subsample_size)
+    param_names: tuple        # learnable model params (SURVEY.md C3 `param`)
+    param_transforms: dict    # param name -> Transform
+    param_init: dict          # param name -> unconstrained init value
 
     @property
     def unconstrained_dim(self):
@@ -60,6 +63,7 @@ def inspect_model(model, *args, rng_key=None, **kwargs) -> ModelInfo:
     tr = _model_trace(model, args, kwargs, key)
     latents, observed, deterministics = [], [], []
     transforms, shapes, ushapes, subsample_sites = {}, {}, {}, {}
+    param_names, param_transforms, param_init = [], {}, {}
     has_subsample = False
     for name, site in tr.items():
         if site["type"] == "sample":
@@ -83,9 +87,17 @@ def inspect_model(model, *args, rng_key=None, **kwargs) -> ModelInfo:
                     and site["subsample_size"] < site["size"]:
                 has_subsample = True
                 subsample_sites[name] = (site["size"], site["subsample_size"])
+        elif site["type"] == "param":
+            t = biject_to(site["constraint"])
+            param_transforms[name] = t
+            if site["value"] is None:
+                raise ValueError(f"param site {name!r} needs init_value=")
+            param_init[name] = t.inverse(site["value"])
+            param_names.append(name)
     return ModelInfo(
         tuple(latents), tuple(observed), tuple(deterministics),
         transforms, shapes, ushapes, has_subsample, subsample_sites,
+        tuple(param_names), param_transforms, param_init,
     )
 
 
@@ -127,7 +139,7 @@ def build_logjoint(model, *args, **kwargs):
     info = inspect_model(model, *args, **kwargs)
 
     def _replay(uparams, rng_key, subsample, model_args=None,
-                model_kwargs=None):
+                model_kwargs=None, params=None):
         values = {
             n: info.transforms[n].forward(uparams[n])
             for n in info.latent_names
@@ -135,6 +147,11 @@ def build_logjoint(model, *args, **kwargs):
         data = dict(values)
         if subsample:
             data.update(subsample)
+        if params is not None:
+            data.update({
+                n: info.param_transforms[n].forward(params[n])
+                for n in info.param_names
+            })
         key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
         call_args = args if model_args is None else model_args
         call_kwargs = kwargs if model_kwargs is None else model_kwargs
@@ -146,11 +163,14 @@ def build_logjoint(model, *args, **kwargs):
         return tr, values
 
     def logdensity(uparams, rng_key=None, subsample=None, model_args=None,
-                   model_kwargs=None):
+                   model_kwargs=None, params=None):
         # model_args/model_kwargs override the build-time arguments; pass the
         # (sharded) data pytree here so it is a traced jit input rather than a
-        # baked constant (SURVEY.md C12: data-parallel SVI).
-        tr, _ = _replay(uparams, rng_key, subsample, model_args, model_kwargs)
+        # baked constant (SURVEY.md C12: data-parallel SVI).  ``params`` is a
+        # dict of *unconstrained* values for learnable `param` sites (e.g. a
+        # DLGM decoder, SURVEY.md C20) optimized jointly with the ELBO.
+        tr, _ = _replay(uparams, rng_key, subsample, model_args, model_kwargs,
+                        params)
         total = jnp.zeros((), jnp.result_type(float))
         for name, site in tr.items():
             if site["type"] == "sample":

@@ -109,6 +109,7 @@ class Binomial(Distribution):
 
 class Categorical(Distribution):
     _params = ("logits",)
+    _param_event_ndims = {"logits": 1}
     reparametrized = False
 
     def __init__(self, probs=None, logits=None):

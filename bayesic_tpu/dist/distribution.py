@@ -182,6 +182,15 @@ class Independent(Distribution):
             self.base_dist.entropy(), axis=tuple(range(-self.ndims, 0))
         )
 
+    def expand(self, batch_shape):
+        batch_shape = tuple(batch_shape)
+        event_batch = self.base_dist.batch_shape[
+            len(self.base_dist.batch_shape) - self.ndims:
+        ]
+        return Independent(
+            self.base_dist.expand(batch_shape + event_batch), self.ndims
+        )
+
 
 class Delta(Distribution):
     """Point mass — used for ``deterministic`` sites (SURVEY.md C3)."""

@@ -73,3 +73,10 @@ class MixtureSameFamily(Distribution):
         w = self.mixing.probs
         w = w.reshape(w.shape + (1,) * ev)
         return jnp.sum(w * self.components.mean, axis=-1 - ev)
+
+    def expand(self, batch_shape):
+        batch_shape = tuple(batch_shape)
+        return MixtureSameFamily(
+            self.mixing.expand(batch_shape),
+            self.components.expand(batch_shape + (self.num_components,)),
+        )

@@ -38,13 +38,16 @@ def make_elbo(logdensity, guide, num_particles=1, stl=True, info=None):
     """Returns ``elbo(params, key, subsample=None) -> scalar`` (a stochastic
     lower bound estimate; maximise it)."""
 
-    def elbo(params, key, subsample=None, model_args=None):
+    def elbo(params, key, subsample=None, model_args=None,
+             model_params=None):
+        ctx = {"subsample": subsample, "model_args": model_args}
         uparams, logq = guide.sample_and_log_prob(
-            params, key, (num_particles,), stop_gradient_q=stl
+            params, key, (num_particles,), stop_gradient_q=stl, ctx=ctx
         )
         logp = jax.vmap(
             lambda u: logdensity(u, subsample=subsample,
-                                 model_args=model_args)
+                                 model_args=model_args,
+                                 params=model_params)
         )(uparams)
         return jnp.mean(logp - logq)
 

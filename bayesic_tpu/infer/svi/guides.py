@@ -62,7 +62,10 @@ class Guide:
         raise NotImplementedError
 
     def sample_and_log_prob(self, params, key, sample_shape=(),
-                            stop_gradient_q=False):
+                            stop_gradient_q=False, ctx=None):
+        """``ctx`` (optional dict with keys ``subsample``/``model_args``)
+        carries the per-step mini-batch context so amortized guides can
+        encode the same batch the model sees (SURVEY.md C6/C20)."""
         raise NotImplementedError
 
 
@@ -84,7 +87,7 @@ class MeanFieldGuide(Guide):
         }
 
     def sample_and_log_prob(self, params, key, sample_shape=(),
-                            stop_gradient_q=False):
+                            stop_gradient_q=False, ctx=None):
         eps = jax.random.normal(key, tuple(sample_shape) + (self.dim,),
                                 jnp.result_type(float))
         flat = params["loc"] + jnp.exp(params["log_scale"]) * eps
@@ -132,7 +135,7 @@ class FullRankGuide(Guide):
         return self._tril.forward(params["scale_tril_vec"])
 
     def sample_and_log_prob(self, params, key, sample_shape=(),
-                            stop_gradient_q=False):
+                            stop_gradient_q=False, ctx=None):
         eps = jax.random.normal(key, tuple(sample_shape) + (self.dim,),
                                 jnp.result_type(float))
         chol = self._chol(params)
@@ -179,5 +182,6 @@ class NeuralGuide(Guide):
         return self._init_fn(key)
 
     def sample_and_log_prob(self, params, key, sample_shape=(),
-                            stop_gradient_q=False):
-        return self._sample_fn(params, key, sample_shape, stop_gradient_q)
+                            stop_gradient_q=False, ctx=None):
+        return self._sample_fn(params, key, sample_shape, stop_gradient_q,
+                               ctx)

@@ -63,6 +63,10 @@ class SVI:
         self._model_kwargs = model_kwargs
 
     # -- functional stepping ----------------------------------------------
+    @property
+    def has_model_params(self):
+        return bool(self.info.param_names)
+
     def init(self, key, init_loc_from_prior=False) -> SVIState:
         key, sub = jax.random.split(key)
         if init_loc_from_prior:
@@ -70,11 +74,35 @@ class SVI:
                 self.model, self.info, *self._model_args,
                 rng_key=sub, **self._model_kwargs,
             )
-            params = self.guide.init(sub, loc=loc)
+            guide_params = self.guide.init(sub, loc=loc)
         else:
-            params = self.guide.init(sub)
+            guide_params = self.guide.init(sub)
+        if self.has_model_params:
+            params = {"guide": guide_params,
+                      "model": dict(self.info.param_init)}
+        else:
+            params = guide_params
         opt_state = self.optimizer.init(params)
         return SVIState(params, opt_state, key, jnp.zeros((), jnp.int32))
+
+    def _split_params(self, params):
+        if self.has_model_params:
+            return params["guide"], params["model"]
+        return params, None
+
+    def model_params(self, params):
+        """Constrained values of the model's learnable `param` sites."""
+        _, mp = self._split_params(params)
+        if mp is None:
+            return {}
+        return {
+            n: self.info.param_transforms[n].forward(mp[n])
+            for n in self.info.param_names
+        }
+
+    def guide_params(self, params):
+        gp, _ = self._split_params(params)
+        return gp
 
     def step(self, state: SVIState, model_args=None):
         key, key_q, key_b = jax.random.split(state.key, 3)
@@ -84,8 +112,9 @@ class SVI:
         )
 
         def loss_fn(params):
-            return -self.elbo(params, key_q, subsample=subsample,
-                              model_args=model_args)
+            gp, mp = self._split_params(params)
+            return -self.elbo(gp, key_q, subsample=subsample,
+                              model_args=model_args, model_params=mp)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         if self.grad_transform is not None:
@@ -121,13 +150,11 @@ class SVI:
 
     # -- posterior access ---------------------------------------------------
     def posterior_stats(self, params):
-        """Constrained-space posterior mean/std estimated by pushing the
-        guide's unconstrained Gaussian through the site transforms (delta
-        method is avoided: we just sample)."""
-        return self.guide.stats(params)
+        """Unconstrained-space posterior mean/std per latent site."""
+        return self.guide.stats(self.guide_params(params))
 
     def sample_posterior(self, params, key, num_samples=1000):
         uparams, _ = self.guide.sample_and_log_prob(
-            params, key, (num_samples,)
+            self.guide_params(params), key, (num_samples,)
         )
         return jax.vmap(self.constrain)(uparams)

@@ -1,0 +1,76 @@
+"""Headline benchmark: ELBO-steps/s/chip on the flagship DLGM
+(BASELINE.json metric; SURVEY.md C22).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.json published == {}), so
+vs_baseline is reported as 1.0 and this repo's own history (BENCH_r*.json)
+is the comparison series.
+
+Runs on whatever platform the environment provides (the driver runs it on
+one real TPU chip via the axon tunnel).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def main():
+    from bayesic_tpu.models import dlgm
+    from bayesic_tpu.infer.svi import SVI
+
+    # TPU-sized flagship config: MXU-heavy encoder/decoder matmuls.
+    cfg = dlgm.Config(
+        num_data=65_536, data_dim=128, latent_dim=32, hidden=256,
+        batch_size=1024, steps=1, seed=0,
+    )
+    x = dlgm.make_data(cfg)
+    model, guide, dec, enc = dlgm.make_model_and_guide(cfg, x)
+    svi = SVI(model, guide, optax.adam(1e-3), model_args=(x,))
+    state = svi.init(jax.random.PRNGKey(0))
+
+    steps = 200
+
+    def run_block(s):
+        def body(carry, _):
+            new, loss = svi.step(carry, model_args=(x,))
+            return new, loss
+
+        return jax.lax.scan(body, s, None, length=steps)
+
+    run_block = jax.jit(run_block, donate_argnums=0)
+
+    # compile + warmup (excluded from timing)
+    state, losses = run_block(state)
+    jax.block_until_ready(losses)
+
+    t0 = time.perf_counter()
+    state, losses = run_block(state)
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+
+    rate = steps / dt
+    n_chips = jax.device_count()
+    rec = {
+        "metric": "dlgm_elbo_steps_per_s_per_chip",
+        "value": rate / n_chips,
+        "unit": "steps/s/chip",
+        "vs_baseline": 1.0,
+        "platform": jax.devices()[0].platform,
+        "n_chips": n_chips,
+        "batch": cfg.batch_size,
+        "data_dim": cfg.data_dim,
+        "hidden": cfg.hidden,
+        "final_loss": float(losses[-1]),
+    }
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
