@@ -67,7 +67,7 @@ class SMC:
                  resample_threshold=0.5, mutation_steps=5,
                  hmc_leapfrog_steps=5, max_stages=100, init_step_size=0.2,
                  target_accept=0.65, model_args=(), model_kwargs=None,
-                 particle_sharding=None):
+                 particle_sharding=None, batched_loglik=None):
         self.model = model
         self.n = int(num_particles)
         self.ess_target = float(ess_target)
@@ -96,9 +96,13 @@ class SMC:
             return ll
 
         self._logprior = jax.vmap(logprior_flat)
-        self._loglik = jax.vmap(loglik_flat)
-        self._logprior1 = logprior_flat
-        self._loglik1 = loglik_flat
+        if batched_loglik is not None:
+            # Hand-fused batched likelihood (e.g. the Pallas gmm_loglik
+            # kernel, SURVEY.md C14b): qs (P, dim) -> (P,), bypassing
+            # vmap-of-replay on the data-heavy term.
+            self._loglik = batched_loglik
+        else:
+            self._loglik = jax.vmap(loglik_flat)
 
     # ------------------------------------------------------------------
     def _init_particles(self, key):
@@ -137,47 +141,47 @@ class SMC:
         return jnp.minimum(beta + delta, 1.0)
 
     def _mutate(self, key, q, beta, step_size):
-        """K HMC transitions targeting p_beta; returns (q, mean accept)."""
+        """K HMC transitions targeting p_beta, computed on the whole
+        particle batch at once (so hand-fused batched densities — Pallas
+        kernels — and the fused leapfrog phase kernels apply).  Returns
+        (q, mean accept)."""
+        from ...ops.leapfrog import kick, kick_drift
 
-        def potential(qi, b):
-            return -(self._logprior1(qi) + b * self._loglik1(qi))
+        def potential_batch(qs, b):
+            return -(self._logprior(qs) + b * self._loglik(qs))   # (P,)
 
-        pag = jax.value_and_grad(potential)
+        def pe_and_grad(qs, b):
+            pe, vjp = jax.vjp(lambda x: potential_batch(x, b), qs)
+            (g,) = vjp(jnp.ones_like(pe))
+            return pe, g
+
+        ones_dim = jnp.ones((self.dim,), q.dtype)
 
         def one_hmc(carry, t):
             qs, acc_sum = carry
-            keys = jax.vmap(
-                lambda i: jax.random.fold_in(
-                    jax.random.fold_in(key, t), i
-                )
-            )(jnp.arange(self.n))
+            key_t = jax.random.fold_in(key, t)
+            k_mom, k_acc = jax.random.split(key_t)
+            p0 = jax.random.normal(k_mom, qs.shape, qs.dtype)
+            pe0, g0 = pe_and_grad(qs, beta)
+            h0 = pe0 + 0.5 * jnp.sum(p0 * p0, -1)
 
-            def chain_step(k, qi):
-                k1, k2 = jax.random.split(k)
-                p0 = jax.random.normal(k1, qi.shape, qi.dtype)
-                pe0, g0 = pag(qi, beta)
-                h0 = pe0 + 0.5 * jnp.sum(p0 * p0)
+            def leap(_, s):
+                qq, pp, gg = s
+                qq, pp = kick_drift(qq, pp, gg, step_size, ones_dim)
+                _, gg = pe_and_grad(qq, beta)
+                pp = kick(pp, gg, step_size)
+                return qq, pp, gg
 
-                def leap(_, s):
-                    qq, pp, gg = s
-                    pp = pp - 0.5 * step_size * gg
-                    qq = qq + step_size * pp
-                    _, gg = pag(qq, beta)
-                    pp = pp - 0.5 * step_size * gg
-                    return qq, pp, gg
-
-                qe, pe_, ge = lax.fori_loop(
-                    0, self.leapfrog_steps, leap, (qi, p0, g0)
-                )
-                pe1, _ = pag(qe, beta)
-                h1 = pe1 + 0.5 * jnp.sum(pe_ * pe_)
-                delta = jnp.where(jnp.isnan(h1 - h0), jnp.inf, h1 - h0)
-                a = jnp.minimum(1.0, jnp.exp(-delta))
-                take = jax.random.uniform(k2) < a
-                return jnp.where(take, qe, qi), a
-
-            qs, accs = jax.vmap(chain_step)(keys, qs)
-            return (qs, acc_sum + jnp.mean(accs)), None
+            qe, pe_, _ = lax.fori_loop(
+                0, self.leapfrog_steps, leap, (qs, p0, g0)
+            )
+            pe1, _ = pe_and_grad(qe, beta)
+            h1 = pe1 + 0.5 * jnp.sum(pe_ * pe_, -1)
+            delta = jnp.where(jnp.isnan(h1 - h0), jnp.inf, h1 - h0)
+            a = jnp.minimum(1.0, jnp.exp(-delta))                 # (P,)
+            take = jax.random.uniform(k_acc, a.shape) < a
+            qs = jnp.where(take[:, None], qe, qs)
+            return (qs, acc_sum + jnp.mean(a)), None
 
         (q_new, acc_sum), _ = lax.scan(
             one_hmc, (q, jnp.zeros(())), jnp.arange(self.mutation_steps)

@@ -69,6 +69,24 @@ def make_model(cfg: Config, x):
     return model
 
 
+def make_batched_loglik(info, unravel, x):
+    """Batched likelihood over flat particle vectors using the fused Pallas
+    gmm_loglik kernel (SURVEY.md C14b); plugs into SMC's
+    ``batched_loglik=`` to bypass vmap-of-replay on the data term."""
+    from ..ops.gmm_logprob import gmm_loglik
+
+    t_w = info.transforms["weights"]
+    t_s = info.transforms["sigma"]
+
+    def loglik(qs):
+        u = unravel(qs)
+        w = t_w.forward(u["weights"])          # (P, K) simplex
+        sig = t_s.forward(u["sigma"])          # (P, K)
+        return gmm_loglik(x, jnp.log(w), u["mus"], sig)
+
+    return loglik
+
+
 def _true_loglik(x, truth):
     from scipy.stats import multivariate_normal
     xn = np.asarray(x)
@@ -102,7 +120,7 @@ def predictive_loglik(res, x, cfg, num_particles_eval=256):
     return float(avg.mean())
 
 
-def run(cfg: Config, key=None, particle_sharding=None):
+def run(cfg: Config, key=None, particle_sharding=None, use_pallas=None):
     if cfg.smoke:
         cfg = dataclasses.replace(cfg, num_data=200, num_particles=512,
                                   mutation_steps=2, leapfrog_steps=3)
@@ -113,6 +131,15 @@ def run(cfg: Config, key=None, particle_sharding=None):
               mutation_steps=cfg.mutation_steps,
               hmc_leapfrog_steps=cfg.leapfrog_steps,
               particle_sharding=particle_sharding)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        smc = SMC(model, num_particles=cfg.num_particles,
+                  mutation_steps=cfg.mutation_steps,
+                  hmc_leapfrog_steps=cfg.leapfrog_steps,
+                  particle_sharding=particle_sharding,
+                  batched_loglik=make_batched_loglik(
+                      smc.info, smc._unravel, x))
 
     if cfg.bench:
         res, dt = timed_steps(lambda: smc.run(key), warmup_runs=1,

@@ -1,0 +1,317 @@
+"""Fused GMM log-likelihood (+ gradient) Pallas TPU kernel.
+
+Blueprint: SURVEY.md C14(b) — "fused joint-log-prob+grad for the hot models
+(GMM responsibilities ...)" (BASELINE.json north_star: "log-prob kernels
+hand-tuned in Pallas where XLA fusion falls short").
+
+The op: for a batch of P particles, each holding a K-component isotropic
+Gaussian mixture (log-weights (P,K), means (P,K,D), scales (P,K)), compute
+``out[p] = sum_n logsumexp_k [ logw_pk + log N(x_n; mu_pk, sig_pk I) ]``
+over a shared dataset x (N,D).
+
+Why Pallas: the jnp formulation materializes a (P,K,N) tensor in HBM; the
+kernel streams x through VMEM in (D,BN) blocks and keeps the whole
+K-logsumexp in registers, so HBM traffic is one pass over x per particle
+block and one scalar write per particle.  The squared distance uses the MXU:
+``|x-mu|^2 = |x|^2 - 2 mu.x + |mu|^2`` with the cross term as a
+(PB*K, D) @ (D, BN) matmul.  The backward pass (responsibilities ->
+parameter grads) has the same structure with the reductions
+``resp @ x^T`` also on the MXU.
+
+Layout: x is passed TRANSPOSED as (D, N) so the long N axis sits on the
+128-wide lane dimension (D is tiny: 1-16); PB=8 particles per block satisfy
+the (8, 128) f32 tile constraint.  Grid = (P/PB, ceil(N/BN)); TPU grids run
+sequentially per core, so out[p] accumulates across N blocks with a
+``@pl.when(first block)`` init.
+
+``gmm_loglik`` is the public entry: custom_vjp, picks the kernel on TPU and
+falls back to pure jnp elsewhere (the SURVEY.md §4.7 parity oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+_LOG_2PI = math.log(2.0 * math.pi)
+_BN = 512   # lane-dim block of data points
+_PB = 8     # particles per block (sublane tile)
+
+
+# ---------------------------------------------------------------------------
+# pure-jnp fallback (correctness oracle)
+# ---------------------------------------------------------------------------
+
+def gmm_loglik_reference(x, log_w, mus, sigmas):
+    """x (N,D); log_w (...,K); mus (...,K,D); sigmas (...,K) -> (...)."""
+    d = x.shape[-1]
+    diff = x[..., None, :, :] - mus[..., :, None, :]     # (...,K,N,D)
+    q = jnp.sum(diff * diff, -1)                          # (...,K,N)
+    ll = (
+        log_w[..., :, None]
+        - q / (2.0 * jnp.square(sigmas)[..., :, None])
+        - d * jnp.log(sigmas)[..., :, None]
+        - 0.5 * d * _LOG_2PI
+    )
+    return jnp.sum(logsumexp(ll, axis=-2), -1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels (all-2D layouts: Mosaic cannot reshape across sublane/lane
+# dims, so mus travels flattened as (P, K*D) and every in-kernel value is
+# rank-2)
+# ---------------------------------------------------------------------------
+
+def _ll_terms(xt_ref, logw_ref, musf_ref, sig_ref, *, k, d, bn):
+    """Per-component log-density rows: returns (list of (PB,BN) ll_k,
+    list of (PB,BN) q_k, xb)."""
+    xb = xt_ref[...]                                     # (D, BN)
+    x2 = jnp.sum(xb * xb, axis=0, keepdims=True)         # (1, BN)
+    lls, qs = [], []
+    for kk in range(k):
+        mu_k = musf_ref[:, kk * d:(kk + 1) * d]          # (PB, D)
+        cross = jax.lax.dot_general(
+            mu_k, xb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                # (PB, BN)
+        mu2 = jnp.sum(mu_k * mu_k, axis=1, keepdims=True)
+        sig_k = sig_ref[:, kk:kk + 1]                    # (PB, 1)
+        logw_k = logw_ref[:, kk:kk + 1]
+        q_k = x2 - 2.0 * cross + mu2                     # (PB, BN)
+        ll_k = (
+            logw_k - q_k * (0.5 / (sig_k * sig_k))
+            - d * jnp.log(sig_k) - 0.5 * d * _LOG_2PI
+        )
+        lls.append(ll_k)
+        qs.append(q_k)
+    return lls, qs, xb
+
+
+def _streaming_lse(lls):
+    m = lls[0]
+    s = jnp.ones_like(m)
+    for ll_k in lls[1:]:
+        new_m = jnp.maximum(m, ll_k)
+        s = s * jnp.exp(m - new_m) + jnp.exp(ll_k - new_m)
+        m = new_m
+    return m + jnp.log(s)
+
+
+def _mask(n, bn):
+    from jax.experimental import pallas as pl
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, bn), 1) + pl.program_id(1) * bn
+    return j < n
+
+
+def _fwd_kernel(xt_ref, logw_ref, musf_ref, sig_ref, out_ref, *, k, d, n,
+                bn):
+    from jax.experimental import pallas as pl
+
+    lls, _, _ = _ll_terms(xt_ref, logw_ref, musf_ref, sig_ref, k=k, d=d,
+                          bn=bn)
+    lse = _streaming_lse(lls)                            # (PB, BN)
+    block = jnp.sum(jnp.where(_mask(n, bn), lse, 0.0), axis=1,
+                    keepdims=True)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += block
+
+
+def _bwd_kernel(xt_ref, logw_ref, musf_ref, sig_ref, ct_ref,
+                dlogw_ref, dmusf_ref, dsig_ref, *, k, d, n, bn):
+    from jax.experimental import pallas as pl
+
+    lls, qs, xb = _ll_terms(xt_ref, logw_ref, musf_ref, sig_ref, k=k, d=d,
+                            bn=bn)
+    lse = _streaming_lse(lls)
+    mask = _mask(n, bn)
+    ct = ct_ref[...]                                     # (PB, 1)
+
+    dlogw_cols, dmus_cols, dsig_cols = [], [], []
+    for kk in range(k):
+        resp_k = jnp.where(mask, jnp.exp(lls[kk] - lse), 0.0)   # (PB, BN)
+        r_sum = jnp.sum(resp_k, axis=1, keepdims=True)          # (PB, 1)
+        rq_sum = jnp.sum(resp_k * qs[kk], axis=1, keepdims=True)
+        rx = jax.lax.dot_general(
+            resp_k, xb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                        # (PB, D)
+        mu_k = musf_ref[:, kk * d:(kk + 1) * d]
+        sig_k = sig_ref[:, kk:kk + 1]
+        inv_s2 = 1.0 / (sig_k * sig_k)
+        dlogw_cols.append(ct * r_sum)
+        dmus_cols.append(ct * (rx - mu_k * r_sum) * inv_s2)
+        dsig_cols.append(
+            ct * (rq_sum * inv_s2 / sig_k - d * r_sum / sig_k)
+        )
+
+    dlogw = jnp.concatenate(dlogw_cols, axis=1)          # (PB, K)
+    dmusf = jnp.concatenate(dmus_cols, axis=1)           # (PB, K*D)
+    dsig = jnp.concatenate(dsig_cols, axis=1)            # (PB, K)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dlogw_ref[...] = jnp.zeros_like(dlogw_ref)
+        dmusf_ref[...] = jnp.zeros_like(dmusf_ref)
+        dsig_ref[...] = jnp.zeros_like(dsig_ref)
+
+    dlogw_ref[...] += dlogw
+    dmusf_ref[...] += dmusf
+    dsig_ref[...] += dsig
+
+
+def _pad_particles(arrs, p):
+    pad = (-p) % _PB
+    if pad == 0:
+        return arrs, p
+    out = []
+    for a in arrs:
+        width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        fill = 1.0 if a is arrs[-1] else 0.0   # sigmas padded with 1 (log-safe)
+        out.append(jnp.pad(a, width, constant_values=fill))
+    return out, p + pad
+
+
+def _grid_and_x(x):
+    from jax.experimental import pallas as pl
+
+    n, d = x.shape
+    nb = pl.cdiv(n, _BN)
+    xt = jnp.pad(x.T, ((0, 0), (0, nb * _BN - n)))
+    return xt, nb, n, d
+
+
+def _pallas_fwd(x, log_w, mus, sigmas, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p0, k = log_w.shape
+    musf = mus.reshape(p0, -1)
+    (log_w, musf, sigmas), p = _pad_particles([log_w, musf, sigmas], p0)
+    xt, nb, n, d = _grid_and_x(x)
+
+    kernel = functools.partial(_fwd_kernel, k=k, d=d, n=n, bn=_BN)
+    out = pl.pallas_call(
+        kernel,
+        grid=(p // _PB, nb),
+        in_specs=[
+            pl.BlockSpec((d, _BN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB, k * d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_PB, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, 1), x.dtype),
+        interpret=interpret,
+    )(xt, log_w, musf, sigmas)
+    return out[:p0, 0]
+
+
+def _pallas_bwd(x, log_w, mus, sigmas, ct, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p0, k = log_w.shape
+    musf = mus.reshape(p0, -1)
+    (log_w, musf, sigmas), p = _pad_particles([log_w, musf, sigmas], p0)
+    ct = jnp.pad(ct, (0, p - p0))
+    xt, nb, n, d = _grid_and_x(x)
+
+    kernel = functools.partial(_bwd_kernel, k=k, d=d, n=n, bn=_BN)
+    dlogw, dmusf, dsig = pl.pallas_call(
+        kernel,
+        grid=(p // _PB, nb),
+        in_specs=[
+            pl.BlockSpec((d, _BN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB, k * d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_PB, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB, k * d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((p, k), x.dtype),
+            jax.ShapeDtypeStruct((p, k * d), x.dtype),
+            jax.ShapeDtypeStruct((p, k), x.dtype),
+        ),
+        interpret=interpret,
+    )(xt, log_w, musf, sigmas, ct[:, None])
+    return dlogw[:p0], dmusf[:p0].reshape(p0, k, d), dsig[:p0]
+
+
+# ---------------------------------------------------------------------------
+# public entry with custom VJP + backend dispatch
+# ---------------------------------------------------------------------------
+
+def _use_pallas():
+    import os
+
+    flag = os.environ.get("BAYESIC_PALLAS", "auto")
+    if flag == "0":
+        return False, False
+    if flag == "interpret":
+        return True, True
+    on_tpu = jax.default_backend() == "tpu"
+    if flag == "1":
+        return True, not on_tpu
+    return on_tpu, False          # auto
+
+
+@jax.custom_vjp
+def gmm_loglik(x, log_w, mus, sigmas):
+    """Batched GMM log-likelihood: x (N,D), log_w (P,K), mus (P,K,D),
+    sigmas (P,K) -> (P,).  Pallas on TPU, jnp elsewhere."""
+    use, interp = _use_pallas()
+    if use:
+        return _pallas_fwd(x, log_w, mus, sigmas, interpret=interp)
+    return gmm_loglik_reference(x, log_w, mus, sigmas)
+
+
+def _vjp_fwd(x, log_w, mus, sigmas):
+    return gmm_loglik(x, log_w, mus, sigmas), (x, log_w, mus, sigmas)
+
+
+def _vjp_bwd(res, ct):
+    x, log_w, mus, sigmas = res
+    use, interp = _use_pallas()
+    if use:
+        dlogw, dmus, dsig = _pallas_bwd(x, log_w, mus, sigmas, ct,
+                                        interpret=interp)
+    else:
+        def f(lw, mu, sg):
+            return jnp.sum(gmm_loglik_reference(x, lw, mu, sg) * ct)
+
+        dlogw, dmus, dsig = jax.grad(f, argnums=(0, 1, 2))(
+            log_w, mus, sigmas
+        )
+    return None, dlogw, dmus, dsig
+
+
+gmm_loglik.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,145 @@
+"""Multi-host-without-a-cluster tests (SURVEY.md §4.6): spawn N local
+processes, each calling jax.distributed.initialize on CPU, run a tiny
+DP-SVI, and assert all hosts agree on the replicated params (fingerprint
+check) — plus checkpoint/resume across a simulated failure (§5)."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    pid, nproc, port, ckpt_dir, mode = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+        sys.argv[5],
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"127.0.0.1:{port}", nproc, pid)
+    assert jax.process_count() == nproc
+    import jax.numpy as jnp, numpy as np, optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import bayesic_tpu.dist as dist
+    from bayesic_tpu.core import sample
+    from bayesic_tpu.infer.svi import SVI, MeanFieldGuide
+    from bayesic_tpu.parallel import make_mesh
+    from bayesic_tpu.parallel.launcher import (
+        host_shard, replicated_fingerprint, check_replicated_sync,
+    )
+    from bayesic_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(0)
+    n = 64
+    x_global = rng.normal(0, 1, n).astype(np.float32)
+    y_global = (1.2 * x_global - 0.4).astype(np.float32)
+
+    mesh = make_mesh({"data": nproc})
+    sh = NamedSharding(mesh, P("data"))
+    x = jax.make_array_from_process_local_data(sh, host_shard(x_global))
+    y = jax.make_array_from_process_local_data(sh, host_shard(y_global))
+
+    def model(xa, ya):
+        w = sample("w", dist.Normal(0.0, 2.0))
+        b = sample("b", dist.Normal(0.0, 2.0))
+        sample("obs", dist.Normal(w * xa + b, 0.5).to_event(1), obs=ya)
+
+    svi = SVI(model, MeanFieldGuide, optax.adam(0.05), model_args=(x, y))
+    key = jax.random.PRNGKey(0)
+
+    path = os.path.join(ckpt_dir, "svi.npz")
+    if mode == "resume":
+        state0 = svi.init(key)
+        state0 = ckpt.restore(path, state0)
+        res = svi.run(key, 30, model_args=(x, y), state=state0)
+    else:
+        res = svi.run(key, 30, model_args=(x, y))
+        if mode == "save":      # first leg of the fault-injection pair
+            ckpt.save_multihost(path, res.state)
+            res = svi.run(key, 30, model_args=(x, y), state=res.state)
+
+    check_replicated_sync(res.params)      # raises DesyncError on mismatch
+    fp = int(replicated_fingerprint(res.params))
+    print(f"RESULT {pid} {fp} {float(res.losses[-1]):.6f}", flush=True)
+""")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _launch(nproc, port, ckpt_dir, mode, worker_file):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # one device per process: drop the 8-virtual-device flag pytest sets
+    env["XLA_FLAGS"] = ""
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker_file, str(i), str(nproc), str(port),
+             ckpt_dir, mode],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        for i in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        outs.append((p.returncode, out.decode(), err.decode()))
+    return outs
+
+
+def _results(outs):
+    res = {}
+    for code, out, err in outs:
+        assert code == 0, f"worker failed:\n{err[-2000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, fp, loss = line.split()
+                res[int(pid)] = (int(fp), float(loss))
+    return res
+
+
+@pytest.fixture
+def worker_file(tmp_path):
+    f = tmp_path / "worker.py"
+    f.write_text(WORKER)
+    return str(f)
+
+
+def test_two_process_dp_svi_stays_in_sync(worker_file, tmp_path):
+    outs = _launch(2, _free_port(), str(tmp_path), "plain", worker_file)
+    res = _results(outs)
+    assert len(res) == 2
+    # replicated params byte-identical across hosts
+    assert res[0][0] == res[1][0]
+    # and losses identical
+    assert res[0][1] == res[1][1]
+
+
+def test_checkpoint_resume_matches_uninterrupted(worker_file, tmp_path):
+    """Fault-injection analogue (SURVEY.md §5): run 30 steps + checkpoint +
+    30 more in one job; then restart from the checkpoint in a fresh job and
+    verify the final replicated params fingerprint matches."""
+    port = _free_port()
+    outs = _launch(2, port, str(tmp_path), "save", worker_file)
+    ref = _results(outs)
+
+    outs2 = _launch(2, _free_port(), str(tmp_path), "resume", worker_file)
+    got = _results(outs2)
+
+    assert ref[0][0] == got[0][0], "resume diverged from continuous run"
+    assert abs(ref[0][1] - got[0][1]) < 1e-6
