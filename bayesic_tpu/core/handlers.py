@@ -16,7 +16,7 @@ import jax
 from .primitives import HANDLER_STACK
 
 __all__ = ["Handler", "seed", "trace", "substitute", "condition", "scale",
-           "block"]
+           "block", "uncondition"]
 
 
 class Handler:
@@ -128,6 +128,16 @@ class scale(Handler):
     def process_message(self, msg):
         if msg["type"] in ("sample", "factor"):
             msg["scale"] = msg["scale"] * self.factor
+
+
+class uncondition(Handler):
+    """Strip observations so likelihood sites resample from their
+    distributions (posterior-predictive replay, infer/predictive.py)."""
+
+    def process_message(self, msg):
+        if msg["type"] == "sample" and msg["is_observed"]:
+            msg["is_observed"] = False
+            msg["value"] = None
 
 
 class block(Handler):

@@ -2,6 +2,10 @@
 
 from . import constraints
 from .continuous import (
+    Chi2,
+    Gumbel,
+    Pareto,
+    Weibull,
     Beta,
     Cauchy,
     Exponential,
@@ -16,7 +20,8 @@ from .continuous import (
     TruncatedNormal,
     Uniform,
 )
-from .discrete import Bernoulli, Binomial, Categorical, Poisson
+from .discrete import (Bernoulli, Binomial, Categorical, Geometric,
+                       Multinomial, NegativeBinomial, Poisson)
 from .distribution import (
     Delta,
     Distribution,
@@ -51,6 +56,13 @@ __all__ = [
     "Binomial",
     "Categorical",
     "Poisson",
+    "Geometric",
+    "NegativeBinomial",
+    "Multinomial",
+    "Weibull",
+    "Gumbel",
+    "Pareto",
+    "Chi2",
     "MultivariateNormal",
     "Dirichlet",
     "LKJCholesky",

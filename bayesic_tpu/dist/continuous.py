@@ -32,6 +32,10 @@ __all__ = [
     "Beta",
     "Uniform",
     "TruncatedNormal",
+    "Weibull",
+    "Gumbel",
+    "Pareto",
+    "Chi2",
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -411,3 +415,95 @@ class TruncatedNormal(Distribution):
         return (
             -0.5 * z * z - 0.5 * _LOG_2PI - jnp.log(self.scale) - log_norm
         )
+
+
+class Weibull(Distribution):
+    _params = ("scale", "concentration")
+    support = constraints.positive
+
+    def __init__(self, scale, concentration):
+        self.scale, self.concentration = scale, concentration
+        super().__init__(_bshape(scale, concentration))
+
+    def sample(self, key, sample_shape=()):
+        u = jax.random.uniform(key, self.shape(sample_shape),
+                               jnp.result_type(float), 1e-7, 1.0)
+        return self.scale * (-jnp.log(u)) ** (1.0 / self.concentration)
+
+    def log_prob(self, x):
+        k, lam = self.concentration, self.scale
+        z = x / lam
+        return jnp.log(k / lam) + (k - 1.0) * jnp.log(z) - z**k
+
+    @property
+    def mean(self):
+        from jax.scipy.special import gammaln
+        return self.scale * jnp.exp(gammaln(1.0 + 1.0 / self.concentration))
+
+
+class Gumbel(Distribution):
+    _params = ("loc", "scale")
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc, self.scale = loc, scale
+        super().__init__(_bshape(loc, scale))
+
+    def sample(self, key, sample_shape=()):
+        g = jax.random.gumbel(key, self.shape(sample_shape),
+                              jnp.result_type(float))
+        return self.loc + self.scale * g
+
+    def log_prob(self, x):
+        z = (x - self.loc) / self.scale
+        return -(z + jnp.exp(-z)) - jnp.log(self.scale)
+
+    @property
+    def mean(self):
+        return self.loc + self.scale * 0.5772156649015329
+
+    @property
+    def variance(self):
+        return (math.pi**2 / 6.0) * jnp.square(self.scale)
+
+
+class Pareto(Distribution):
+    """P(X > x) = (scale/x)^alpha for x >= scale."""
+
+    _params = ("scale", "alpha")
+
+    def __init__(self, scale, alpha):
+        self.scale, self.alpha = scale, alpha
+        super().__init__(_bshape(scale, alpha))
+
+    @property
+    def support(self):
+        return constraints.greater_than(self.scale)
+
+    def sample(self, key, sample_shape=()):
+        e = jax.random.exponential(key, self.shape(sample_shape),
+                                   jnp.result_type(float))
+        return self.scale * jnp.exp(e / self.alpha)
+
+    def log_prob(self, x):
+        return (
+            jnp.log(self.alpha) + self.alpha * jnp.log(self.scale)
+            - (self.alpha + 1.0) * jnp.log(x)
+        )
+
+    @property
+    def mean(self):
+        return jnp.where(
+            self.alpha > 1, self.alpha * self.scale / (self.alpha - 1.0),
+            jnp.inf,
+        )
+
+
+class Chi2(Gamma):
+    def __init__(self, df):
+        # df is derived (df = 2*concentration) rather than stored, so the
+        # pytree leaves stay exactly Gamma's
+        super().__init__(0.5 * jnp.asarray(df), 0.5)
+
+    @property
+    def df(self):
+        return 2.0 * self.concentration

@@ -15,7 +15,8 @@ from jax.scipy.special import gammaln, logsumexp, xlog1py, xlogy
 from . import constraints
 from .distribution import Distribution
 
-__all__ = ["Bernoulli", "Binomial", "Categorical", "Poisson"]
+__all__ = ["Bernoulli", "Binomial", "Categorical", "Poisson",
+           "Geometric", "NegativeBinomial", "Multinomial"]
 
 
 def _bshape(*args):
@@ -174,7 +175,9 @@ class Poisson(Distribution):
         ).astype(jnp.int32)
 
     def log_prob(self, x):
-        return xlogy(x, self.rate) - self.rate - gammaln(x + 1.0)
+        # cast counts to float: xlogy's jvp emits float0 tangents for int x
+        xf = jnp.asarray(x, jnp.result_type(float))
+        return xlogy(xf, self.rate) - self.rate - gammaln(xf + 1.0)
 
     @property
     def mean(self):
@@ -183,3 +186,153 @@ class Poisson(Distribution):
     @property
     def variance(self):
         return self.rate
+
+
+class Geometric(Distribution):
+    """Number of failures before the first success; support {0, 1, ...}."""
+
+    _params = ("logits",)
+    support = constraints.nonnegative_integer
+    reparametrized = False
+
+    def __init__(self, probs=None, logits=None):
+        if (probs is None) == (logits is None):
+            raise ValueError("pass exactly one of probs/logits")
+        self.logits = (
+            jnp.asarray(logits) if logits is not None
+            else _logits_from_probs(jnp.asarray(probs))
+        )
+        super().__init__(_bshape(self.logits))
+
+    @property
+    def probs(self):
+        return jax.nn.sigmoid(self.logits)
+
+    def sample(self, key, sample_shape=()):
+        u = jax.random.uniform(key, self.shape(sample_shape),
+                               jnp.result_type(float), 1e-7, 1.0)
+        # floor(log U / log(1-p)); log(1-p) = -softplus(logits)
+        return jnp.floor(
+            jnp.log(u) / (-jax.nn.softplus(self.logits))
+        ).astype(jnp.int32)
+
+    def log_prob(self, x):
+        # k*log(1-p) + log p
+        return -x * jax.nn.softplus(self.logits) \
+            - jax.nn.softplus(-self.logits)
+
+    @property
+    def mean(self):
+        p = self.probs
+        return (1.0 - p) / p
+
+    @property
+    def variance(self):
+        p = self.probs
+        return (1.0 - p) / (p * p)
+
+
+class NegativeBinomial(Distribution):
+    """Failures-before-r-th-success parameterization:
+    P(K=k) = C(k+r-1, k) (1-p)^r p^k with p = sigmoid(logits)."""
+
+    _params = ("total_count", "logits")
+    support = constraints.nonnegative_integer
+    reparametrized = False
+
+    def __init__(self, total_count, probs=None, logits=None):
+        if (probs is None) == (logits is None):
+            raise ValueError("pass exactly one of probs/logits")
+        self.total_count = jnp.asarray(total_count)
+        self.logits = (
+            jnp.asarray(logits) if logits is not None
+            else _logits_from_probs(jnp.asarray(probs))
+        )
+        super().__init__(_bshape(self.total_count, self.logits))
+
+    @property
+    def probs(self):
+        return jax.nn.sigmoid(self.logits)
+
+    def sample(self, key, sample_shape=()):
+        # Gamma-Poisson mixture: lam ~ Gamma(r, (1-p)/p); K ~ Poisson(lam)
+        k1, k2 = jax.random.split(key)
+        shape = self.shape(sample_shape)
+        r = jnp.broadcast_to(self.total_count, shape)
+        g = jax.random.gamma(k1, r, dtype=jnp.result_type(float))
+        rate = jnp.exp(-self.logits)          # (1-p)/p
+        lam = g / jnp.broadcast_to(rate, shape)
+        return jax.random.poisson(k2, lam).astype(jnp.int32)
+
+    def log_prob(self, x):
+        r = self.total_count
+        log_comb = gammaln(x + r) - gammaln(r) - gammaln(x + 1.0)
+        # k log p + r log(1-p)
+        return log_comb + x * (-jax.nn.softplus(-self.logits)) \
+            + r * (-jax.nn.softplus(self.logits))
+
+    @property
+    def mean(self):
+        return self.total_count * jnp.exp(self.logits)
+
+    @property
+    def variance(self):
+        return self.mean / jax.nn.sigmoid(-self.logits)
+
+
+class Multinomial(Distribution):
+    """Counts over K categories from ``total_count`` trials; event dim 1."""
+
+    _params = ("logits",)
+    _param_event_ndims = {"logits": 1}
+    reparametrized = False
+
+    def __init__(self, total_count, probs=None, logits=None):
+        if (probs is None) == (logits is None):
+            raise ValueError("pass exactly one of probs/logits")
+        self.total_count = int(total_count)
+        self.logits = (
+            jnp.asarray(logits) if logits is not None
+            else jnp.log(jnp.asarray(probs))
+        )
+        super().__init__(_bshape(self.logits)[:-1],
+                         (self.logits.shape[-1],))
+
+    @property
+    def support(self):
+        return constraints.nonnegative_integer  # per-coordinate; sums to n
+
+    @property
+    def probs(self):
+        return jax.nn.softmax(self.logits, axis=-1)
+
+    def sample(self, key, sample_shape=()):
+        # chain of binomial splits over the K categories (K static)
+        k = self.logits.shape[-1]
+        shape = tuple(sample_shape) + self.batch_shape
+        p = jnp.broadcast_to(self.probs, shape + (k,))
+        remaining = jnp.full(shape, self.total_count, jnp.float32)
+        rem_p = jnp.ones(shape, jnp.result_type(float))
+        counts = []
+        for i in range(k - 1):
+            cond_p = jnp.clip(p[..., i] / jnp.clip(rem_p, 1e-12), 0.0, 1.0)
+            c = jax.random.binomial(jax.random.fold_in(key, i), remaining,
+                                    cond_p)
+            counts.append(c)
+            remaining = remaining - c
+            rem_p = rem_p - p[..., i]
+        counts.append(remaining)
+        return jnp.stack(counts, -1).astype(jnp.int32)
+
+    def log_prob(self, x):
+        logp = self.logits - logsumexp(self.logits, -1, keepdims=True)
+        return (
+            gammaln(jnp.asarray(self.total_count, jnp.result_type(float))
+                    + 1.0)
+            - jnp.sum(gammaln(x + 1.0), -1)
+            + jnp.sum(x * logp, -1)
+        )
+
+    @property
+    def mean(self):
+        return self.total_count * self.probs

@@ -1,10 +1,12 @@
 """SVI backend (SURVEY.md C5-C7)."""
 
 from .elbo import draw_subsample, make_elbo
-from .guides import FullRankGuide, Guide, MeanFieldGuide, NeuralGuide, unraveler
+from .guides import (FullRankGuide, Guide, MeanFieldGuide, NeuralGuide,
+                     TraceGuide, unraveler)
 from .svi import SVI, SVIResult, SVIState
 
 __all__ = [
     "SVI", "SVIResult", "SVIState", "make_elbo", "draw_subsample",
-    "Guide", "MeanFieldGuide", "FullRankGuide", "NeuralGuide", "unraveler",
+    "Guide", "MeanFieldGuide", "FullRankGuide", "NeuralGuide",
+    "TraceGuide", "unraveler",
 ]

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ...dist.transforms import LowerCholeskyTransform
 
 __all__ = ["unraveler", "Guide", "MeanFieldGuide", "FullRankGuide",
-           "NeuralGuide"]
+           "NeuralGuide", "TraceGuide"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -185,3 +185,117 @@ class NeuralGuide(Guide):
                             stop_gradient_q=False, ctx=None):
         return self._sample_fn(params, key, sample_shape, stop_gradient_q,
                                ctx)
+
+
+class TraceGuide(Guide):
+    """DSL-authored custom guide (SURVEY.md C6 "custom guides"): any model-
+    like function using ``param`` sites for its learnables and ``sample``
+    sites (in constrained space) for the model's latents.
+
+    Example::
+
+        def guide():
+            loc = param("mu_loc", jnp.zeros(()))
+            scale = param("mu_scale", jnp.asarray(0.1),
+                          constraint=constraints.positive)
+            sample("mu", dist.Normal(loc, scale))
+
+    The ELBO machinery works in unconstrained space, so sampled values are
+    pulled back through the model's bijectors with the change-of-variable
+    correction: ``log q_u(u) = log q_x(T(u)) + log|dT/du|``.
+    """
+
+    def __init__(self, guide_fn, model_info, guide_args=(),
+                 guide_kwargs=None):
+        from ...core import handlers
+        from ...dist.transforms import biject_to
+
+        self._handlers = handlers
+        self.guide_fn = guide_fn
+        self.info = model_info
+        self._args = guide_args
+        self._kwargs = guide_kwargs or {}
+
+        tr = handlers.trace(
+            handlers.seed(guide_fn, rng_key=jax.random.PRNGKey(0))
+        ).get_trace(*self._args, **self._kwargs)
+        self.param_transforms = {}
+        self.param_init = {}
+        latent_sites = []
+        for name, site in tr.items():
+            if site["type"] == "param":
+                t = biject_to(site["constraint"])
+                self.param_transforms[name] = t
+                self.param_init[name] = t.inverse(site["value"])
+            elif site["type"] == "sample" and not site["is_observed"]:
+                latent_sites.append(name)
+        missing = set(model_info.latent_names) - set(latent_sites)
+        if missing:
+            raise ValueError(
+                f"guide does not sample model latent site(s): "
+                f"{sorted(missing)}"
+            )
+
+    def init(self, key):
+        return dict(self.param_init)
+
+    def _replay(self, params_u, key):
+        h = self._handlers
+        values = {
+            n: self.param_transforms[n].forward(params_u[n])
+            for n in self.param_transforms
+        }
+        return h.trace(
+            h.substitute(h.seed(self.guide_fn, rng_key=key), data=values)
+        ).get_trace(*self._args, **self._kwargs)
+
+    def sample_and_log_prob(self, params, key, sample_shape=(),
+                            stop_gradient_q=False, ctx=None):
+        q_params = jax.lax.stop_gradient(params) if stop_gradient_q \
+            else params
+
+        def one(k):
+            tr = self._replay(params, k)
+            xs = {
+                n: tr[n]["value"] for n in self.info.latent_names
+            }
+            # log q at the sampled point, with params possibly stopped (STL)
+            tr_q = self._handlers.trace(
+                self._handlers.substitute(
+                    self._handlers.seed(self.guide_fn,
+                                        rng_key=jax.random.PRNGKey(0)),
+                    data={
+                        **{
+                            n: self.param_transforms[n].forward(q_params[n])
+                            for n in self.param_transforms
+                        },
+                        **xs,
+                    },
+                )
+            ).get_trace(*self._args, **self._kwargs)
+            logq = jnp.zeros(())
+            uparams = {}
+            for n in self.info.latent_names:
+                site = tr_q[n]
+                lp = jnp.sum(site["dist"].log_prob(site["value"]))
+                t = self.info.transforms[n]
+                u = t.inverse(site["value"])
+                ldj = jnp.sum(t.log_det_jacobian(u))
+                logq = logq + lp + ldj
+                uparams[n] = u
+            return uparams, logq
+
+        if sample_shape == ():
+            return one(key)
+        import math as _math
+
+        n_keys = int(_math.prod(sample_shape))
+        keys = jax.vmap(
+            lambda i: jax.random.fold_in(key, i)
+        )(jnp.arange(n_keys))
+        us, logqs = jax.vmap(one)(keys)
+        shape = tuple(sample_shape)
+        us = jax.tree_util.tree_map(
+            lambda a: a.reshape(shape + a.shape[1:]), us
+        )
+        return us, logqs.reshape(shape)

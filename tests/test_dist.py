@@ -235,3 +235,53 @@ def test_reparam_gradients():
 
     g = jax.grad(gamma_mean)(3.0)  # d/da E[Gamma(a,1)] = 1
     assert abs(float(g) - 1.0) < 0.05
+
+
+def test_new_families_vs_scipy():
+    xs = np.linspace(0.2, 6.0, 9)
+    assert_close(dist.Weibull(2.0, 1.5).log_prob(jnp.asarray(xs)),
+                 sps.weibull_min(c=1.5, scale=2.0).logpdf(xs), rtol=2e-3,
+                 atol=2e-3)
+    xs = np.linspace(-3, 5, 9)
+    assert_close(dist.Gumbel(0.5, 1.2).log_prob(jnp.asarray(xs)),
+                 sps.gumbel_r(0.5, 1.2).logpdf(xs), rtol=2e-3, atol=2e-3)
+    xs = np.linspace(1.1, 8.0, 9)
+    assert_close(dist.Pareto(1.0, 2.5).log_prob(jnp.asarray(xs)),
+                 sps.pareto(b=2.5, scale=1.0).logpdf(xs), rtol=2e-3,
+                 atol=2e-3)
+    xs = np.linspace(0.5, 10.0, 9)
+    assert_close(dist.Chi2(4.0).log_prob(jnp.asarray(xs)),
+                 sps.chi2(4.0).logpdf(xs), rtol=2e-3, atol=2e-3)
+
+
+def test_new_discrete_vs_scipy():
+    ks = np.arange(0, 10)
+    assert_close(dist.Geometric(probs=0.3).log_prob(jnp.asarray(ks)),
+                 sps.geom(0.3, loc=-1).logpmf(ks), rtol=2e-3, atol=2e-3)
+    # scipy nbinom: failures before n-th success with success prob p
+    assert_close(
+        dist.NegativeBinomial(5.0, probs=0.4).log_prob(jnp.asarray(ks)),
+        sps.nbinom(5, 0.6).logpmf(ks), rtol=2e-3, atol=2e-3,
+    )
+    x = np.array([[3, 2, 5], [1, 0, 9], [4, 4, 2]])
+    probs = np.array([0.2, 0.3, 0.5])
+    assert_close(
+        dist.Multinomial(10, probs=jnp.asarray(probs)).log_prob(
+            jnp.asarray(x)),
+        sps.multinomial(10, probs).logpmf(x), rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_new_families_sampling():
+    n = 60_000
+    for d in [dist.Weibull(2.0, 1.5), dist.Gumbel(0.5, 1.2),
+              dist.Chi2(4.0), dist.Geometric(probs=0.3),
+              dist.NegativeBinomial(5.0, probs=0.4)]:
+        s = d.sample(jax.random.PRNGKey(11), (n,))
+        np.testing.assert_allclose(float(jnp.mean(s)), float(d.mean),
+                                   rtol=0.05, atol=0.05)
+    m = dist.Multinomial(20, probs=jnp.asarray([0.2, 0.3, 0.5]))
+    s = m.sample(jax.random.PRNGKey(12), (20_000,))
+    assert np.all(np.asarray(s.sum(-1)) == 20)
+    np.testing.assert_allclose(np.asarray(s.astype(jnp.float32).mean(0)),
+                               np.asarray(m.mean), rtol=0.03)
