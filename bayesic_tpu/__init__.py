@@ -17,3 +17,27 @@ Layering (SURVEY.md §1b):
 __version__ = "0.1.0"
 
 from . import dist  # noqa: F401
+from .core import (  # noqa: F401
+    deterministic,
+    factor,
+    param,
+    plate,
+    sample,
+)
+
+
+def __getattr__(name):
+    # lazy heavy imports so `import bayesic_tpu` stays cheap
+    if name == "SVI":
+        from .infer.svi import SVI
+        return SVI
+    if name == "MCMC":
+        from .infer.mcmc import MCMC
+        return MCMC
+    if name == "SMC":
+        from .infer.smc import SMC
+        return SMC
+    if name == "Predictive":
+        from .infer.predictive import Predictive
+        return Predictive
+    raise AttributeError(name)

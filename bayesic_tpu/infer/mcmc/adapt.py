@@ -85,6 +85,27 @@ def welford_update(state: WelfordState, x) -> WelfordState:
     return WelfordState(mean, m2, count)
 
 
+def welford_update_batch(state: WelfordState, xs) -> WelfordState:
+    """Chan-et-al parallel update with a whole batch ``xs`` (n, d) — used by
+    pooled cross-chain adaptation (all chains feed ONE mass estimate)."""
+    nb = xs.shape[0]
+    mean_b = jnp.mean(xs, 0)
+    delta_b = xs - mean_b
+    if state.m2.ndim == 1:
+        m2_b = jnp.sum(delta_b * delta_b, 0)
+    else:
+        m2_b = delta_b.T @ delta_b
+    n_a = state.count
+    n = n_a + nb
+    delta = mean_b - state.mean
+    mean = state.mean + delta * nb / n
+    if state.m2.ndim == 1:
+        m2 = state.m2 + m2_b + delta * delta * n_a * nb / n
+    else:
+        m2 = state.m2 + m2_b + jnp.outer(delta, delta) * n_a * nb / n
+    return WelfordState(mean, m2, n)
+
+
 def welford_finalize(state: WelfordState, regularize=True):
     """Return the *inverse mass* estimate (posterior variance, regularized
     toward identity as Stan does)."""

@@ -27,6 +27,7 @@ from .adapt import (
     welford_finalize,
     welford_init,
     welford_update,
+    welford_update_batch,
 )
 from .hmc import make_hmc_kernel
 from .integrators import IntegratorState
@@ -63,7 +64,7 @@ class MCMC:
                  num_chains=4, max_depth=10, target_accept=0.8,
                  dense_mass=False, init_step_size=0.1, thin=1,
                  hmc_num_steps=32, model_args=(), model_kwargs=None,
-                 chain_sharding=None):
+                 chain_sharding=None, shared_adapt=False):
         self.num_warmup = int(num_warmup)
         self.num_samples = int(num_samples)
         self.num_chains = int(num_chains)
@@ -72,6 +73,10 @@ class MCMC:
         self.dense_mass = bool(dense_mass)
         self.init_step_size = float(init_step_size)
         self.chain_sharding = chain_sharding
+        # pooled cross-chain adaptation (one step size / mass matrix fed by
+        # every chain's statistics) — the right regime for 100s-1000s of
+        # chains (SURVEY.md C13a; configs[4] 1024-chain NUTS)
+        self.shared_adapt = bool(shared_adapt)
 
         if model is not None:
             info, logdensity, constrain_fn, _ = build_logjoint(
@@ -149,16 +154,21 @@ class MCMC:
         in_slow = jnp.asarray(in_slow)
         window_end = jnp.asarray(window_end)
 
-        inv_mass0 = jnp.broadcast_to(
-            self._initial_mass(),
-            (self.num_chains,) + self._initial_mass().shape,
-        )
-        da0 = jax.vmap(lambda _: da_init(jnp.asarray(self.init_step_size)))(
-            jnp.arange(self.num_chains)
-        )
-        wf0 = jax.vmap(
-            lambda _: welford_init(self.dim, dense=self.dense_mass)
-        )(jnp.arange(self.num_chains))
+        if self.shared_adapt:
+            inv_mass0 = self._initial_mass()
+            da0 = da_init(jnp.asarray(self.init_step_size))
+            wf0 = welford_init(self.dim, dense=self.dense_mass)
+        else:
+            inv_mass0 = jnp.broadcast_to(
+                self._initial_mass(),
+                (self.num_chains,) + self._initial_mass().shape,
+            )
+            da0 = jax.vmap(
+                lambda _: da_init(jnp.asarray(self.init_step_size))
+            )(jnp.arange(self.num_chains))
+            wf0 = jax.vmap(
+                lambda _: welford_init(self.dim, dense=self.dense_mass)
+            )(jnp.arange(self.num_chains))
 
         kernel = self._kernel
         target = self.target_accept
@@ -169,29 +179,45 @@ class MCMC:
                                              c)
             )(jnp.arange(self.num_chains))
             eps = jnp.exp(carry.da.log_step)
-            state, info = jax.vmap(kernel)(keys, carry.state, eps,
-                                           carry.inv_mass)
-            da = jax.vmap(
-                lambda d, a: da_update(d, a, target=target)
-            )(carry.da, info.accept_prob)
-            # Welford accumulate in slow windows
-            wf_new = jax.vmap(welford_update)(carry.wf, state.q)
-            wf = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(in_slow[t], new, old),
-                wf_new, carry.wf,
-            )
-            # window close: refresh inv_mass, reset welford, re-init DA
-            new_inv_mass = jax.vmap(welford_finalize)(wf)
-            inv_mass = jnp.where(
-                window_end[t], new_inv_mass, carry.inv_mass
-            )
-            wf_reset = jax.vmap(
-                lambda _: welford_init(self.dim, dense=self.dense_mass)
-            )(jnp.arange(self.num_chains))
+            if self.shared_adapt:
+                state, info = jax.vmap(
+                    kernel, in_axes=(0, 0, None, None)
+                )(keys, carry.state, eps, carry.inv_mass)
+                da = da_update(carry.da, jnp.mean(info.accept_prob),
+                               target=target)
+                wf_new = welford_update_batch(carry.wf, state.q)
+                wf = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(in_slow[t], new, old),
+                    wf_new, carry.wf,
+                )
+                new_inv_mass = welford_finalize(wf)
+                inv_mass = jnp.where(
+                    window_end[t], new_inv_mass, carry.inv_mass
+                )
+                wf_reset = welford_init(self.dim, dense=self.dense_mass)
+                da_reset = da_init(jnp.exp(da.log_step))
+            else:
+                state, info = jax.vmap(kernel)(keys, carry.state, eps,
+                                               carry.inv_mass)
+                da = jax.vmap(
+                    lambda d, a: da_update(d, a, target=target)
+                )(carry.da, info.accept_prob)
+                wf_new = jax.vmap(welford_update)(carry.wf, state.q)
+                wf = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(in_slow[t], new, old),
+                    wf_new, carry.wf,
+                )
+                new_inv_mass = jax.vmap(welford_finalize)(wf)
+                inv_mass = jnp.where(
+                    window_end[t], new_inv_mass, carry.inv_mass
+                )
+                wf_reset = jax.vmap(
+                    lambda _: welford_init(self.dim, dense=self.dense_mass)
+                )(jnp.arange(self.num_chains))
+                da_reset = jax.vmap(da_init)(jnp.exp(da.log_step))
             wf = jax.tree_util.tree_map(
                 lambda r, k: jnp.where(window_end[t], r, k), wf_reset, wf
             )
-            da_reset = jax.vmap(da_init)(jnp.exp(da.log_step))
             da = jax.tree_util.tree_map(
                 lambda r, k: jnp.where(window_end[t], r, k), da_reset, da
             )
@@ -200,13 +226,33 @@ class MCMC:
             )
             return new_carry, info.accept_prob
 
-        def sample_step(carry, t):
-            state, step_size, inv_mass = carry
+        def one_transition(state, step_size, inv_mass, t):
             keys = jax.vmap(
                 lambda c: jax.random.fold_in(jax.random.fold_in(key_samp, t),
                                              c)
             )(jnp.arange(self.num_chains))
-            state, info = jax.vmap(kernel)(keys, state, step_size, inv_mass)
+            if self.shared_adapt:
+                return jax.vmap(
+                    kernel, in_axes=(0, 0, None, None)
+                )(keys, state, step_size, inv_mass)
+            return jax.vmap(kernel)(keys, state, step_size, inv_mass)
+
+        def sample_step(carry, t):
+            # in-scan thinning: `thin` transitions per collected sample, so
+            # the output buffer holds only kept draws (memory matters at
+            # 1024 chains, SURVEY.md §3.2 "thinned states written to sharded
+            # output buffer")
+            state, step_size, inv_mass = carry
+
+            def inner(i, st):
+                st, _ = one_transition(st, step_size, inv_mass,
+                                       t * self.thin + i)
+                return st
+
+            if self.thin > 1:
+                state = lax.fori_loop(0, self.thin - 1, inner, state)
+            state, info = one_transition(state, step_size, inv_mass,
+                                         t * self.thin + self.thin - 1)
             collect = (
                 state.q, info.diverging, info.accept_prob,
                 getattr(info, "depth", jnp.zeros_like(info.diverging,
@@ -216,10 +262,11 @@ class MCMC:
             return (state, step_size, inv_mass), collect
 
         def run_all():
-            carry0 = _WarmupCarry(
-                states, da0, wf0, inv_mass0,
-                jnp.full((self.num_chains,), self.init_step_size),
+            step0 = (
+                jnp.asarray(self.init_step_size) if self.shared_adapt
+                else jnp.full((self.num_chains,), self.init_step_size)
             )
+            carry0 = _WarmupCarry(states, da0, wf0, inv_mass0, step0)
             carry, _ = lax.scan(
                 warm_step, carry0, jnp.arange(self.num_warmup)
             )
@@ -240,8 +287,6 @@ class MCMC:
         qs, divs, accs, depths, nsteps, step_size, inv_mass = run_all()
         # qs: (num_samples, chains, dim) -> (chains, num_samples, dim)
         qs = jnp.swapaxes(qs, 0, 1)
-        if self.thin > 1:
-            qs = qs[:, ::self.thin]
         flat = qs.reshape(-1, self.dim)
         cons = jax.vmap(self._constrain)(flat)
         samples = {

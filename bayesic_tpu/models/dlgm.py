@@ -57,27 +57,34 @@ class Config:
     num_samples: int = 300
     smoke: bool = False
     bench: bool = False
+    compute_dtype: str = "float32"   # "bfloat16" for MXU fast path
 
 
 class Decoder(nn.Module):
     data_dim: int
     hidden: int
+    dtype: Any = jnp.float32    # bf16 compute puts the matmuls on the MXU
+                                # fast path; params stay f32
 
     @nn.compact
     def __call__(self, z):
-        h = nn.tanh(nn.Dense(self.hidden)(z))
-        return nn.Dense(self.data_dim)(h)
+        h = nn.tanh(nn.Dense(self.hidden, dtype=self.dtype)(z))
+        return nn.Dense(self.data_dim, dtype=self.dtype)(h) \
+            .astype(jnp.float32)
 
 
 class Encoder(nn.Module):
     latent_dim: int
     hidden: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.tanh(nn.Dense(self.hidden)(x))
-        mu = nn.Dense(self.latent_dim)(h)
-        log_sigma = nn.Dense(self.latent_dim)(h)
+        h = nn.tanh(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        mu = nn.Dense(self.latent_dim, dtype=self.dtype)(h) \
+            .astype(jnp.float32)
+        log_sigma = nn.Dense(self.latent_dim, dtype=self.dtype)(h) \
+            .astype(jnp.float32)
         return mu, jnp.clip(log_sigma, -6.0, 3.0)
 
 
@@ -95,8 +102,9 @@ def make_data(cfg: Config):
 
 def make_model_and_guide(cfg: Config, x):
     n = int(x.shape[0])
-    dec = Decoder(cfg.data_dim, cfg.hidden)
-    enc = Encoder(cfg.latent_dim, cfg.hidden)
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    dec = Decoder(cfg.data_dim, cfg.hidden, dtype=cdtype)
+    enc = Encoder(cfg.latent_dim, cfg.hidden, dtype=cdtype)
     key0 = jax.random.PRNGKey(cfg.seed)
     dec_init = dec.init(key0, jnp.zeros((1, cfg.latent_dim)))
     b = cfg.batch_size

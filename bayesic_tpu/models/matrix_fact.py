@@ -42,9 +42,39 @@ class Config:
     lr: float = 0.02
     smoke: bool = False
     bench: bool = False
+    data_file: str = ""   # load ratings via the native mmap loader
+                          # (bayesic_tpu.io); generated+written if missing
 
 
 def make_data(cfg: Config):
+    if cfg.data_file:
+        return _data_from_file(cfg)
+    return _synthetic_data(cfg)
+
+
+def _data_from_file(cfg: Config):
+    """Native-loader path (SURVEY.md C18 "sharded mini-batch ELBO" +
+    native-runtime tier): mmap'd columnar file, host-shard reads."""
+    import os
+
+    from ..io import RatingsDataset, write_ratings
+
+    if not os.path.exists(cfg.data_file):
+        users, items, r, truth = _synthetic_data(cfg)
+        write_ratings(cfg.data_file, np.asarray(users), np.asarray(items),
+                      np.asarray(r))
+    with RatingsDataset(cfg.data_file) as ds:
+        import jax as _jax
+
+        n = len(ds)
+        nproc = _jax.process_count()
+        per = n // nproc
+        start = _jax.process_index() * per
+        u, i, r = ds.read_shard(start, per)
+    return (jnp.asarray(u), jnp.asarray(i), jnp.asarray(r), None)
+
+
+def _synthetic_data(cfg: Config):
     rng = np.random.default_rng(cfg.seed)
     u_true = rng.normal(0, 0.5, (cfg.num_users, cfg.num_factors)) \
         .astype(np.float32)
@@ -90,6 +120,8 @@ def run(cfg: Config, key=None):
         )
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     users, items, ratings, truth = make_data(cfg)
+    if int(users.shape[0]) != cfg.num_ratings:
+        cfg = dataclasses.replace(cfg, num_ratings=int(users.shape[0]))
     model = make_model(cfg)
     svi = SVI(model, MeanFieldGuide,
               optax.adam(optax.cosine_decay_schedule(cfg.lr, cfg.steps)),

@@ -37,9 +37,11 @@ def main():
 
     steps = 500
 
-    def run_block(s):
+    # x rides as a traced jit argument, NOT a closure constant (embedded
+    # multi-MB constants make remote compiles pathologically slow)
+    def run_block(s, xa):
         def body(carry, _):
-            new, loss = svi.step(carry, model_args=(x,))
+            new, loss = svi.step(carry, model_args=(xa,))
             return new, loss
 
         return jax.lax.scan(body, s, None, length=steps)
@@ -47,7 +49,7 @@ def main():
     run_block = jax.jit(run_block)
 
     # compile + warmup (excluded from timing)
-    state, losses = run_block(state)
+    state, losses = run_block(state, x)
     jax.block_until_ready(losses)
 
     # best-of-3: the remote-TPU tunnel adds large, variable dispatch noise,
@@ -55,7 +57,7 @@ def main():
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        state, losses = run_block(state)
+        state, losses = run_block(state, x)
         jax.block_until_ready(losses)
         best = min(best, time.perf_counter() - t0)
 

@@ -52,15 +52,17 @@ def _record(name, metric, value, unit, **extra):
 def bench_svi(name, svi, key, steps, model_args=None):
     state = svi.init(key)
 
-    def block(s):
+    # data rides as a traced jit argument, NOT a closure constant — embedded
+    # multi-MB constants make remote compiles pathologically slow
+    def block(s, margs):
         def body(c, _):
-            new, loss = svi.step(c, model_args=model_args)
+            new, loss = svi.step(c, model_args=margs)
             return new, loss
 
         return jax.lax.scan(body, s, None, length=steps)
 
     blk = jax.jit(block)
-    (_, losses), dt = _timed(blk, state)
+    (_, losses), dt = _timed(blk, state, model_args)
     return _record(name, "elbo_steps_per_s_per_chip", steps / dt /
                    jax.device_count(), "steps/s/chip", steps=steps,
                    final_loss=float(losses[-1]))

@@ -185,3 +185,44 @@ def test_hmc_kernel_runs():
     x = np.asarray(res.samples["x"]).reshape(-1, 3)
     assert np.abs(x.mean(0)).max() < 0.2
     np.testing.assert_allclose(x.var(0), 1.0, rtol=0.25)
+
+
+def test_shared_adapt_many_chains():
+    """Pooled cross-chain adaptation (configs[4] regime): one step size +
+    mass matrix fed by all chains; posterior still correct."""
+    rng = np.random.default_rng(5)
+    n = 30
+    y = jnp.asarray(rng.normal(-0.5, 1.0, n).astype(np.float32))
+    post_var = 1.0 / (1.0 / 25.0 + n)
+    post_mean = post_var * float(y.sum())
+
+    def model():
+        mu = sample("mu", dist.Normal(0.0, 5.0))
+        sample("obs", dist.Normal(mu, 1.0).expand((n,)).to_event(1), obs=y)
+
+    mcmc = MCMC(model=model, num_warmup=300, num_samples=300, num_chains=16,
+                shared_adapt=True, init_step_size=0.5)
+    res = mcmc.run(jax.random.PRNGKey(2))
+    # shared adaptation -> scalar step size and single mass vector
+    assert res.extra["step_size"].ndim == 0
+    assert res.extra["inv_mass"].shape == (1,)
+    s = res.samples["mu"]
+    summ = diag.summary({"mu": s})["mu"]
+    assert float(summ["rhat"]) < 1.02
+    assert abs(float(summ["mean"]) - post_mean) < 3 * float(summ["mcse"]) + 1e-3
+    np.testing.assert_allclose(float(summ["std"]), np.sqrt(post_var),
+                               rtol=0.15)
+
+
+def test_thinning_inside_scan():
+    def model():
+        sample("x", dist.Normal(0.0, 1.0).expand((2,)).to_event(1))
+
+    m = MCMC(model=model, num_warmup=100, num_samples=50, num_chains=2,
+             thin=4, init_step_size=0.5)
+    res = m.run(jax.random.PRNGKey(0))
+    # num_samples counts COLLECTED draws
+    assert res.samples["x"].shape == (2, 50, 2)
+    # thinned draws decorrelate faster than unthinned
+    x = res.samples["x"][:, :, 0]
+    assert float(diag.ess(x)) > 40
