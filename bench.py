@@ -48,17 +48,22 @@ def main():
 
     run_block = jax.jit(run_block)
 
+    def force(arr):
+        # through the remote-TPU relay block_until_ready can return before
+        # the computation finishes; a device_get is the reliable fence
+        return float(jax.device_get(arr[-1]))
+
     # compile + warmup (excluded from timing)
     state, losses = run_block(state, x)
-    jax.block_until_ready(losses)
+    force(losses)
 
-    # best-of-3: the remote-TPU tunnel adds large, variable dispatch noise,
-    # and the best rep is the closest estimate of on-chip throughput
+    # best-of-3 with the EVOLVING state threaded through each rep so no
+    # layer can serve a repeat of an identical computation
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         state, losses = run_block(state, x)
-        jax.block_until_ready(losses)
+        force(losses)
         best = min(best, time.perf_counter() - t0)
 
     rate = steps / best

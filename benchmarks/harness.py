@@ -28,14 +28,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _force(out):
+    """Materialize on host: through the remote-TPU relay,
+    block_until_ready can return before compute finishes; device_get is the
+    only reliable fence."""
+    return jax.tree_util.tree_map(
+        lambda a: np.asarray(jax.device_get(a)).ravel()[:1], out
+    )
+
+
 def _timed(fn, *args, reps=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _force(out)
         best = min(best, time.perf_counter() - t0)
     return out, best
 
@@ -62,7 +71,17 @@ def bench_svi(name, svi, key, steps, model_args=None):
         return jax.lax.scan(body, s, None, length=steps)
 
     blk = jax.jit(block)
-    (_, losses), dt = _timed(blk, state, model_args)
+    # warmup/compile; then time reps with the EVOLVING state threaded
+    # through (identical inputs can be served from an execution cache by
+    # the remote runtime, which would fake the rate)
+    state, losses = blk(state, model_args)
+    _force(losses)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, losses = blk(state, model_args)
+        _force(losses)
+        dt = min(dt, time.perf_counter() - t0)
     return _record(name, "elbo_steps_per_s_per_chip", steps / dt /
                    jax.device_count(), "steps/s/chip", steps=steps,
                    final_loss=float(losses[-1]))

@@ -182,3 +182,36 @@ def test_observation_sharded_logdensity():
     np.testing.assert_allclose(float(ref), float(got), rtol=1e-5)
     np.testing.assert_allclose(float(g_ref["mu"]), float(g_got["mu"]),
                                rtol=1e-5)
+
+
+def test_tp_sharded_guide_params_match():
+    """C13c: shard the (large) mean-field guide parameter vector of the MF
+    model over the 'model' axis; updates must equal the replicated run."""
+    import optax
+
+    from bayesic_tpu.models import matrix_fact as mf
+
+    cfg = mf.Config(num_users=64, num_items=32, num_factors=4,
+                    num_ratings=4096, batch_size=512, smoke=False)
+    users, items, ratings, _ = mf.make_data(cfg)
+    model = mf.make_model(cfg)
+    from bayesic_tpu.infer.svi import SVI, MeanFieldGuide
+
+    svi = SVI(model, MeanFieldGuide, optax.adam(0.05),
+              model_args=(users, items, ratings))
+
+    res_ref = svi.run(KEY, 50, model_args=(users, items, ratings))
+
+    mesh = make_mesh({"model": 8})
+    state = svi.init(KEY)
+    sh = NamedSharding(mesh, P("model"))
+    # guide params are flat (dim,) vectors; dim = 2*(64*4+32*4+64+32+1)
+    state = state._replace(params=jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sh) if a.ndim == 1 and
+        a.shape[0] % 8 == 0 else a, state.params))
+    res_tp = svi.run(KEY, 50, model_args=(users, items, ratings),
+                     state=state)
+
+    np.testing.assert_allclose(np.asarray(res_ref.losses),
+                               np.asarray(res_tp.losses), rtol=2e-4,
+                               atol=2e-4)
