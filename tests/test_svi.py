@@ -137,3 +137,30 @@ def test_multi_particle_elbo_variance():
     tail8 = np.asarray(r8.losses[-100:])
     assert abs(tail1.mean() - tail8.mean()) < 1.0
     assert tail8.std() < tail1.std() * 1.05
+
+
+def test_meanfield_correct_under_rbg_prng():
+    """The bench uses the faster rbg PRNG; posterior correctness must hold
+    under it too."""
+    import jax as _jax
+
+    prev = _jax.config.jax_default_prng_impl
+    _jax.config.update("jax_default_prng_impl", "rbg")
+    try:
+        rng = np.random.default_rng(0)
+        y = jnp.asarray(rng.normal(2.0, 1.0, 50).astype(np.float32))
+
+        def model():
+            mu = sample("mu", dist.Normal(0.0, 10.0))
+            sample("obs", dist.Normal(mu, 1.0).expand((50,)).to_event(1),
+                   obs=y)
+
+        svi = SVI(model, MeanFieldGuide, optax.adam(0.05))
+        res = svi.run(jax.random.PRNGKey(0), 2000)
+        mean_u, std_u = svi.guide.stats(res.params)
+        post_mean, post_std = _normal_normal_posterior(np.asarray(y),
+                                                       100.0, 1.0)
+        assert abs(float(mean_u["mu"]) - post_mean) < 0.05
+        np.testing.assert_allclose(float(std_u["mu"]), post_std, rtol=0.2)
+    finally:
+        _jax.config.update("jax_default_prng_impl", prev)
