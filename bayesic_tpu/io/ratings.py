@@ -101,6 +101,7 @@ class RatingsDataset:
         if use_native is None:
             use_native = native_available()
         self.native = bool(use_native)
+        self._iters = set()
         if self.native:
             lib = _load_lib()
             self._h = lib.btpr_open(path.encode())
@@ -152,6 +153,7 @@ class RatingsDataset:
             lib = _load_lib()
             it = lib.btpr_batch_start(self._h, batch_size, seed,
                                       num_threads)
+            self._iters.add(it)
             try:
                 while True:
                     u = np.empty(batch_size, np.int32)
@@ -167,7 +169,9 @@ class RatingsDataset:
                         return
                     yield u, i, r
             finally:
-                lib.btpr_batch_close(it)
+                if it in self._iters:
+                    self._iters.discard(it)
+                    lib.btpr_batch_close(it)
         else:
             rng = np.random.default_rng(seed)
             while True:
@@ -177,7 +181,14 @@ class RatingsDataset:
 
     def close(self):
         if self.native and self._h:
-            _load_lib().btpr_close(self._h)
+            lib = _load_lib()
+            # stop any live batch iterators BEFORE unmapping: their worker
+            # threads read the mmap (an unclosed generator would otherwise
+            # race close() and segfault)
+            for it in list(self._iters):
+                self._iters.discard(it)
+                lib.btpr_batch_close(it)
+            lib.btpr_close(self._h)
             self._h = None
 
     def __enter__(self):

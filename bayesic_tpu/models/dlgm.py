@@ -183,7 +183,7 @@ def run_svi(cfg: Config, key=None, data_sharding=None):
 
 
 def local_posterior_mcmc(cfg: Config, dec, dec_params, sigma_x, x_batch,
-                         key, chain_sharding=None):
+                         key, chain_sharding=None, shared_adapt=None):
     """NUTS over the local latents z for a fixed decoder — the
     1024-sharded-chain workload of configs[4]."""
     nb = int(x_batch.shape[0])
@@ -196,9 +196,13 @@ def local_posterior_mcmc(cfg: Config, dec, dec_params, sigma_x, x_batch,
         mu = dec.apply(dec_params, z)
         sample("obs", dist.Normal(mu, sigma_x).to_event(2), obs=x_batch)
 
+    if shared_adapt is None:
+        # pooled adaptation is the right default once chains are many
+        shared_adapt = cfg.num_chains >= 64
     mcmc = MCMC(model=model, num_warmup=cfg.num_warmup,
                 num_samples=cfg.num_samples, num_chains=cfg.num_chains,
-                chain_sharding=chain_sharding, init_step_size=0.2)
+                chain_sharding=chain_sharding, init_step_size=0.2,
+                shared_adapt=shared_adapt)
     return mcmc, mcmc.run(key)
 
 

@@ -201,11 +201,12 @@ def run_dlgm():
     recs = [bench_svi("dlgm", svi, jax.random.PRNGKey(0), 500,
                       model_args=(x,))]
 
-    # the 1024-sharded-chain NUTS variant (configs[4])
+    # the 1024-sharded-chain NUTS variant (configs[4]) with pooled
+    # cross-chain adaptation
     out = dlgm.run_svi(dlgm.Config(num_data=2048, data_dim=32,
                                    latent_dim=8, hidden=64, batch_size=256,
                                    steps=200))
-    n_chains = min(1024, 128 * jax.device_count())
+    n_chains = 1024
     from bayesic_tpu.models.dlgm import local_posterior_mcmc
 
     cfg2 = dlgm.Config(num_data=2048, data_dim=32, latent_dim=8, hidden=64,
