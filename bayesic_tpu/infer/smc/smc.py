@@ -63,6 +63,20 @@ class _SMCCarry(NamedTuple):
 
 
 class SMC:
+    """See module docstring. After ``run``, use :meth:`equal_weight_samples`
+    for plain posterior draws."""
+
+    @staticmethod
+    def equal_weight_samples(result: "SMCResult", key, num_samples=None):
+        """Resample the final weighted particle population down to
+        equally-weighted posterior draws (systematic, low variance)."""
+        from ...parallel.resample import systematic_ancestors
+
+        idx = systematic_ancestors(key, result.log_weights, num_samples)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.take(a, idx, axis=0), result.particles
+        )
+
     def __init__(self, model, num_particles=1024, ess_target=0.5,
                  resample_threshold=0.5, mutation_steps=5,
                  hmc_leapfrog_steps=5, max_stages=100, init_step_size=0.2,

@@ -112,3 +112,27 @@ def summary(samples_dict):
             "rhat": split_rhat(x),
         }
     return out
+
+
+def print_summary(samples_dict, file=None):
+    """Readable per-site posterior table (mean, std, mcse, ess, r-hat)."""
+    import sys
+
+    out = file or sys.stdout
+    stats = summary(samples_dict)
+    header = f"{'site':<16}{'mean':>10}{'std':>10}{'mcse':>10}" \
+             f"{'ess':>9}{'rhat':>7}"
+    print(header, file=out)
+    print("-" * len(header), file=out)
+    for name, st in stats.items():
+        mean = jnp.atleast_1d(st["mean"]).ravel()
+        std = jnp.atleast_1d(st["std"]).ravel()
+        mcse_v = jnp.atleast_1d(st["mcse"]).ravel()
+        essv = jnp.atleast_1d(st["ess"]).ravel()
+        rh = jnp.atleast_1d(st["rhat"]).ravel()
+        for i in range(mean.shape[0]):
+            label = name if mean.shape[0] == 1 else f"{name}[{i}]"
+            print(f"{label:<16}{float(mean[i]):>10.3f}"
+                  f"{float(std[i]):>10.3f}{float(mcse_v[i]):>10.4f}"
+                  f"{float(essv[i]):>9.0f}{float(rh[i]):>7.3f}", file=out)
+    return stats
