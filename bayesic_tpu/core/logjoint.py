@@ -14,7 +14,7 @@ so the resulting ``logdensity`` is a single fused XLA computation.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import gammaln, logsumexp, xlog1py, xlogy
+from jax.scipy.special import gammaln, logsumexp, xlogy
 
 from . import constraints
 from .distribution import Distribution

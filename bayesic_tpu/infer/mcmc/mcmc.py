@@ -11,7 +11,7 @@ yields identical samples (§7 hard-part 3).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ conjugate models (SURVEY.md §4.3).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

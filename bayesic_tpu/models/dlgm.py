@@ -20,7 +20,7 @@ Run: ``python -m bayesic_tpu.models.dlgm --smoke true``
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,6 @@ module only formats/emits what the driver fetched.  JSONL on process 0.
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import jax

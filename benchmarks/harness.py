@@ -136,7 +136,9 @@ def run_hier_logistic():
                       model_args=(x, y, group))]
 
     full = hl.make_model(cfg.num_groups, cfg.num_features, None)
-    mcmc = MCMC(model=full, num_warmup=400, num_samples=400,
+    # 200/200 x 128 chains: the 400-step variant reproducibly faults the
+    # remote TPU worker (kernel fault in the long while_loop program)
+    mcmc = MCMC(model=full, num_warmup=200, num_samples=200,
                 num_chains=128, shared_adapt=True,
                 model_args=(x, y, group), target_accept=0.85)
     recs.append(bench_nuts_ess("hier_logistic_nuts", mcmc,
