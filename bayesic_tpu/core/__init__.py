@@ -10,6 +10,7 @@ from .logjoint import (
     inspect_model,
 )
 from .primitives import deterministic, factor, param, plate, sample
+from .reparam import LocScaleReparam, Reparam, reparam
 
 __all__ = [
     "handlers",
@@ -18,6 +19,9 @@ __all__ = [
     "param",
     "deterministic",
     "factor",
+    "reparam",
+    "Reparam",
+    "LocScaleReparam",
     "ModelInfo",
     "Potential",
     "build_logjoint",

@@ -221,3 +221,70 @@ def test_potential_flat_view():
     assert jnp.isfinite(v) and g.shape == (3,)
     np.testing.assert_allclose(float(v), -float(logdensity(pot.unravel(q))),
                                rtol=1e-6)
+
+
+def test_locscale_reparam_matches_manual_noncentering():
+    """reparam(LocScaleReparam) must produce the same unconstrained density
+    as hand-written non-centering."""
+    from bayesic_tpu.core import LocScaleReparam
+    from bayesic_tpu.core.reparam import reparam
+
+    def centered():
+        mu = sample("mu", dist.Normal(0.0, 5.0))
+        tau = sample("tau", dist.HalfNormal(2.0))
+        theta = sample("theta",
+                       dist.Normal(mu, tau).expand((4,)).to_event(1))
+        sample("obs", dist.Normal(theta, 1.0).to_event(1),
+               obs=jnp.asarray([1.0, -1.0, 2.0, 0.5]))
+
+    auto_nc = reparam(centered, config={"theta": LocScaleReparam()})
+
+    def manual_nc():
+        mu = sample("mu", dist.Normal(0.0, 5.0))
+        tau = sample("tau", dist.HalfNormal(2.0))
+        raw = sample("theta_decentered",
+                     dist.Normal(0.0, 1.0).expand((4,)).to_event(1))
+        theta = deterministic("theta", mu + tau * raw)
+        sample("obs", dist.Normal(theta, 1.0).to_event(1),
+               obs=jnp.asarray([1.0, -1.0, 2.0, 0.5]))
+
+    info_a, ld_a, _, post_a = build_logjoint(auto_nc)
+    info_m, ld_m, _, post_m = build_logjoint(manual_nc)
+    assert set(info_a.latent_names) == set(info_m.latent_names)
+    u = {"mu": jnp.asarray(0.4), "tau": jnp.asarray(-0.2),
+         "theta_decentered": jnp.asarray([0.1, -0.5, 1.0, 0.0])}
+    np.testing.assert_allclose(float(ld_a(u)), float(ld_m(u)), rtol=1e-6)
+    pa, pm = post_a(u), post_m(u)
+    np.testing.assert_allclose(np.asarray(pa["theta"]),
+                               np.asarray(pm["theta"]), rtol=1e-6)
+
+
+def test_locscale_reparam_nuts_eight_schools():
+    """Centered 8-schools + auto non-centering must sample cleanly."""
+    from bayesic_tpu.core import LocScaleReparam
+    from bayesic_tpu.core.reparam import reparam
+    from bayesic_tpu.infer.mcmc import MCMC
+
+    y = jnp.asarray([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+    sigma = jnp.asarray([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+
+    def centered():
+        mu = sample("mu", dist.Normal(0.0, 5.0))
+        tau = sample("tau", dist.HalfCauchy(5.0))
+        theta = sample("theta",
+                       dist.Normal(mu, tau).expand((8,)).to_event(1))
+        sample("obs", dist.Normal(theta, sigma).to_event(1), obs=y)
+
+    model = reparam(centered, config={"theta": LocScaleReparam()})
+    mcmc = MCMC(model=model, num_warmup=400, num_samples=400, num_chains=4,
+                target_accept=0.9, init_step_size=0.2)
+    res = mcmc.run(jax.random.PRNGKey(3))
+    from bayesic_tpu.utils import diagnostics as diag
+
+    s = diag.summary({"mu": res.samples["mu"]})["mu"]
+    assert abs(float(s["mean"]) - 4.4) < 0.8
+    assert float(s["rhat"]) < 1.05
+    assert float(res.extra["diverging"].mean()) < 0.03
+    # theta exposed via postprocess-style deterministic? samples contain
+    # the decentered site; theta itself is a deterministic record
+    assert "theta_decentered" in res.samples
