@@ -7,10 +7,12 @@ Every kernel is gated by the BAYESIC_PALLAS env flag:
   interpret      - Pallas interpreter everywhere (kernel-logic testing)
 """
 
+from .gather import gather_reference, mxu_gather
 from .gmm_logprob import gmm_loglik, gmm_loglik_reference
 from .leapfrog import kick, kick_drift, kick_drift_reference, kick_reference
 
 __all__ = [
     "gmm_loglik", "gmm_loglik_reference",
+    "mxu_gather", "gather_reference",
     "kick_drift", "kick", "kick_drift_reference", "kick_reference",
 ]

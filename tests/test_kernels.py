@@ -121,3 +121,28 @@ def test_smc_with_batched_pallas_loglik(pallas_interpret):
     assert out_pal["num_stages"] == out_ref["num_stages"]
     np.testing.assert_allclose(out_pal["pred_loglik"],
                                out_ref["pred_loglik"], rtol=1e-2)
+
+
+def test_mxu_gather_parity():
+    """One-hot MXU gather vs plain take (both precisions; CPU check of the
+    math — on CPU dot_general is exact so both match tightly)."""
+    from bayesic_tpu.ops.gather import gather_reference, mxu_gather
+
+    t = jax.random.normal(jax.random.PRNGKey(0), (300, 16))
+    idx = jax.random.randint(jax.random.PRNGKey(1), (512,), 0, 300)
+    ref = gather_reference(t, idx)
+    for prec, tol in [("high", 1e-4), ("fast", 3e-2)]:
+        got = mxu_gather(t, idx, force=True, precision=prec)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=tol, atol=tol)
+    # 1-D tables
+    b = jax.random.normal(jax.random.PRNGKey(2), (300,))
+    got = mxu_gather(b, idx, force=True, precision="high")
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(gather_reference(b, idx)),
+                               rtol=1e-4, atol=1e-4)
+    # grads flow to the right rows
+    g = jax.grad(lambda tt: (mxu_gather(tt, idx, force=True) ** 2).sum())(t)
+    g_ref = jax.grad(lambda tt: (gather_reference(tt, idx) ** 2).sum())(t)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=3e-2,
+                               atol=3e-2)
