@@ -344,7 +344,17 @@ def main():
     ap.add_argument("--model", default="all",
                     choices=list(ALL) + ["all"])
     ap.add_argument("--out", default=None)
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler trace (TensorBoard/"
+                         "Perfetto) of the run into LOGDIR (SURVEY.md §5)")
     args = ap.parse_args()
+    if args.profile:
+        from bayesic_tpu.utils.metrics import profile_trace
+
+        with profile_trace(args.profile):
+            if args.model == "all":
+                return _run_all_subprocess(args.out)
+            return ALL[args.model]()
     if args.model == "all":
         return _run_all_subprocess(args.out)
     records = []
