@@ -42,6 +42,7 @@ class ModelInfo(NamedTuple):
     param_names: tuple        # learnable model params (SURVEY.md C3 `param`)
     param_transforms: dict    # param name -> Transform
     param_init: dict          # param name -> unconstrained init value
+    enum_sites: dict          # enumerated discrete site -> support size
 
     @property
     def unconstrained_dim(self):
@@ -64,16 +65,21 @@ def inspect_model(model, *args, rng_key=None, **kwargs) -> ModelInfo:
     latents, observed, deterministics = [], [], []
     transforms, shapes, ushapes, subsample_sites = {}, {}, {}, {}
     param_names, param_transforms, param_init = [], {}, {}
+    enum_sites = {}
     has_subsample = False
     for name, site in tr.items():
         if site["type"] == "sample":
             if site["is_observed"]:
                 observed.append(name)
             else:
+                if site.get("infer", {}).get("enumerate"):
+                    enum_sites[name] = _enum_support_size(name, site["dist"])
+                    continue
                 if site["dist"].support.is_discrete:
                     raise ValueError(
                         f"latent site {name!r} is discrete — marginalise it "
-                        f"(e.g. MixtureSameFamily) or observe it."
+                        f"(MixtureSameFamily), observe it, or mark it "
+                        f"infer={{'enumerate': True}} (scalar sites)."
                     )
                 latents.append(name)
                 t = biject_to(site["dist"].support)
@@ -97,7 +103,26 @@ def inspect_model(model, *args, rng_key=None, **kwargs) -> ModelInfo:
     return ModelInfo(
         tuple(latents), tuple(observed), tuple(deterministics),
         transforms, shapes, ushapes, has_subsample, subsample_sites,
-        tuple(param_names), param_transforms, param_init,
+        tuple(param_names), param_transforms, param_init, enum_sites,
+    )
+
+
+def _enum_support_size(name, d):
+    if jnp.shape(d.sample(jax.random.PRNGKey(0))) != ():
+        raise ValueError(
+            f"enumerate only supports scalar discrete sites; {name!r} has "
+            f"batch/event dims (use MixtureSameFamily for per-datapoint "
+            f"assignments)"
+        )
+    if hasattr(d, "num_categories"):
+        return int(d.num_categories)
+    from ..dist import constraints as _c
+
+    if isinstance(d.support, _c._Boolean):
+        return 2
+    raise ValueError(
+        f"cannot enumerate {name!r}: support size unknown for "
+        f"{type(d).__name__} (Categorical/Bernoulli supported)"
     )
 
 
@@ -162,15 +187,7 @@ def build_logjoint(model, *args, **kwargs):
         ).get_trace(*call_args, **call_kwargs)
         return tr, values
 
-    def logdensity(uparams, rng_key=None, subsample=None, model_args=None,
-                   model_kwargs=None, params=None):
-        # model_args/model_kwargs override the build-time arguments; pass the
-        # (sharded) data pytree here so it is a traced jit input rather than a
-        # baked constant (SURVEY.md C12: data-parallel SVI).  ``params`` is a
-        # dict of *unconstrained* values for learnable `param` sites (e.g. a
-        # DLGM decoder, SURVEY.md C20) optimized jointly with the ELBO.
-        tr, _ = _replay(uparams, rng_key, subsample, model_args, model_kwargs,
-                        params)
+    def _accumulate(tr, uparams):
         total = jnp.zeros((), jnp.result_type(float))
         for name, site in tr.items():
             if site["type"] == "sample":
@@ -182,6 +199,38 @@ def build_logjoint(model, *args, **kwargs):
             elif site["type"] == "factor":
                 total = total + site["scale"] * jnp.sum(site["value"])
         return total
+
+    def logdensity(uparams, rng_key=None, subsample=None, model_args=None,
+                   model_kwargs=None, params=None):
+        # model_args/model_kwargs override the build-time arguments; pass the
+        # (sharded) data pytree here so it is a traced jit input rather than a
+        # baked constant (SURVEY.md C12: data-parallel SVI).  ``params`` is a
+        # dict of *unconstrained* values for learnable `param` sites (e.g. a
+        # DLGM decoder, SURVEY.md C20) optimized jointly with the ELBO.
+        if not info.enum_sites:
+            tr, _ = _replay(uparams, rng_key, subsample, model_args,
+                            model_kwargs, params)
+            return _accumulate(tr, uparams)
+        # marginalise enumerated scalar discrete sites: replay per combo of
+        # the (static, small) product support and logsumexp the joints
+        import itertools
+
+        names = sorted(info.enum_sites)
+        lps = []
+        for combo in itertools.product(
+            *[range(info.enum_sites[n]) for n in names]
+        ):
+            assign = {
+                n: jnp.asarray(v, jnp.int32) for n, v in zip(names, combo)
+            }
+            sub = dict(subsample or {})
+            sub.update(assign)
+            tr, _ = _replay(uparams, rng_key, sub, model_args,
+                            model_kwargs, params)
+            lps.append(_accumulate(tr, uparams))
+        from jax.scipy.special import logsumexp as _lse
+
+        return _lse(jnp.stack(lps))
 
     def logdensity_parts(uparams, rng_key=None, subsample=None,
                          model_args=None, model_kwargs=None):

@@ -99,9 +99,11 @@ def default_process(msg):
         raise ValueError(f"unknown message type {t!r}")
 
 
-def sample(name, fn, obs=None, rng_key=None, sample_shape=()):
+def sample(name, fn, obs=None, rng_key=None, sample_shape=(), infer=None):
     """Declare a random variable ``name`` with distribution ``fn``; if ``obs``
-    is given the site is an observed likelihood term."""
+    is given the site is an observed likelihood term.  ``infer`` carries
+    inference hints, e.g. ``{"enumerate": True}`` to marginalise a small
+    discrete site out of the log-joint (SURVEY.md C4 periphery)."""
     if not isinstance(fn, Distribution):
         raise TypeError(f"sample({name!r}): fn must be a Distribution")
     if not HANDLER_STACK and obs is None and rng_key is None:
@@ -111,6 +113,7 @@ def sample(name, fn, obs=None, rng_key=None, sample_shape=()):
     msg = _new_msg(
         "sample", name, dist=fn, value=obs,
         is_observed=obs is not None, key=rng_key, sample_shape=sample_shape,
+        infer=infer or {},
     )
     apply_stack(msg)
     return msg["value"]

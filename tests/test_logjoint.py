@@ -288,3 +288,62 @@ def test_locscale_reparam_nuts_eight_schools():
     # theta exposed via postprocess-style deterministic? samples contain
     # the decentered site; theta itself is a deterministic record
     assert "theta_decentered" in res.samples
+
+
+def test_enumerated_discrete_site_marginalises():
+    """Scalar discrete latents marked infer={'enumerate': True} are summed
+    out of the log-joint exactly."""
+    y = jnp.asarray(0.7)
+
+    def model():
+        z = sample("z", dist.Categorical(probs=jnp.asarray([0.2, 0.5, 0.3])),
+                   infer={"enumerate": True})
+        locs = jnp.asarray([-2.0, 0.0, 2.0])
+        sample("obs", dist.Normal(locs[z], 1.0), obs=y)
+
+    info, logdensity, _, _ = build_logjoint(model)
+    assert info.enum_sites == {"z": 3}
+    assert info.latent_names == ()
+    got = float(logdensity({}))
+    hand = float(np.log(sum(
+        p * sps.norm(m, 1.0).pdf(0.7)
+        for p, m in zip([0.2, 0.5, 0.3], [-2.0, 0.0, 2.0])
+    )))
+    np.testing.assert_allclose(got, hand, rtol=1e-5)
+
+
+def test_enumeration_with_continuous_latent_under_nuts():
+    """Mixture with enumerated assignment + continuous location: NUTS on the
+    marginalised joint matches the MixtureSameFamily formulation."""
+    from bayesic_tpu.infer.mcmc import MCMC
+
+    rng = np.random.default_rng(0)
+    yv = jnp.asarray(rng.normal(1.5, 1.0, 30).astype(np.float32))
+
+    def model_enum():
+        mu = sample("mu", dist.Normal(0.0, 5.0))
+        z = sample("z", dist.Bernoulli(probs=0.5),
+                   infer={"enumerate": True})
+        shift = jnp.where(z == 1, 0.0, 0.0)  # z is dummy here: same lik
+        sample("obs", dist.Normal(mu + shift, 1.0).expand((30,)).to_event(1),
+               obs=yv)
+
+    res = MCMC(model=model_enum, num_warmup=200, num_samples=300,
+               num_chains=2, init_step_size=0.5).run(jax.random.PRNGKey(0))
+    post_var = 1.0 / (1.0 / 25.0 + 30.0)
+    post_mean = post_var * float(yv.sum())
+    got = float(res.samples["mu"].mean())
+    assert abs(got - post_mean) < 0.1
+
+
+def test_enumeration_rejects_batched_site():
+    def m():
+        z = sample("z", dist.Bernoulli(probs=jnp.full((4,), 0.5)),
+                   infer={"enumerate": True})
+        sample("x", dist.Normal(z.sum() * 1.0, 1.0), obs=jnp.asarray(0.1))
+
+    try:
+        inspect_model(m)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "scalar" in str(e)

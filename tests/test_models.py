@@ -80,3 +80,55 @@ def test_dlgm_linear_decoder_matches_analytic_posterior():
     mean = cov @ (w @ x) / sigma**2
     np.testing.assert_allclose(zs.mean(0), mean, atol=0.06)
     np.testing.assert_allclose(np.cov(zs.T), cov, atol=0.06)
+
+
+def test_three_backend_cross_check():
+    """SURVEY.md §4.4 / BASELINE acceptance rule on configs[1]: SVI,
+    NUTS, and SMC posterior means agree pairwise within MC error."""
+    import jax.numpy as jnp
+    import optax
+
+    import bayesic_tpu.dist as dist
+    from bayesic_tpu.core import sample
+    from bayesic_tpu.infer.mcmc import MCMC
+    from bayesic_tpu.infer.smc import SMC
+    from bayesic_tpu.infer.svi import SVI, MeanFieldGuide
+    from bayesic_tpu.utils import diagnostics as diag
+
+    rng = np.random.default_rng(0)
+    j, npg = 6, 40
+    theta_true = rng.normal(0.5, 1.0, j)
+    group = np.repeat(np.arange(j), npg)
+    yv = (rng.uniform(size=j * npg)
+          < 1 / (1 + np.exp(-theta_true[group]))).astype(np.int32)
+    yj, gj = jnp.asarray(yv), jnp.asarray(group)
+
+    def model():
+        mu = sample("mu", dist.Normal(0.0, 5.0))
+        tau = sample("tau", dist.HalfNormal(2.0))
+        raw = sample("raw", dist.Normal(0.0, 1.0).expand((j,)).to_event(1))
+        theta = mu + tau * raw
+        sample("obs", dist.Bernoulli(logits=theta[gj]).to_event(1), obs=yj)
+
+    # NUTS (the reference chain)
+    mres = MCMC(model=model, num_warmup=400, num_samples=400, num_chains=4,
+                target_accept=0.9).run(jax.random.PRNGKey(0))
+    s = diag.summary({"mu": mres.samples["mu"]})["mu"]
+    mu_nuts, mcse = float(s["mean"]), float(s["mcse"])
+
+    # SVI
+    svi = SVI(model, MeanFieldGuide,
+              optax.adam(optax.cosine_decay_schedule(0.05, 2000)))
+    res = svi.run(jax.random.PRNGKey(1), 2000)
+    mu_svi = float(svi.guide.stats(res.params)[0]["mu"])
+
+    # SMC
+    smc = SMC(model, num_particles=2048, mutation_steps=4,
+              hmc_leapfrog_steps=5)
+    sres = smc.run(jax.random.PRNGKey(2))
+    w = jnp.exp(sres.log_weights)
+    mu_smc = float((w * sres.particles["mu"]).sum())
+
+    # pairwise agreement: generous multiples of MCSE + guide-bias allowance
+    assert abs(mu_nuts - mu_smc) < 6 * mcse + 0.1, (mu_nuts, mu_smc)
+    assert abs(mu_nuts - mu_svi) < 6 * mcse + 0.15, (mu_nuts, mu_svi)
