@@ -98,5 +98,24 @@ def main():
     print(json.dumps(rec))
 
 
+def _main_with_retry():
+    """The remote TPU worker occasionally crashes transiently; a crash
+    poisons this client process, so retry once in a fresh interpreter."""
+    try:
+        return main()
+    except Exception as e:  # noqa: BLE001
+        if "--no-retry" in sys.argv:
+            raise
+        print(f"bench attempt failed ({type(e).__name__}); retrying in a "
+              f"fresh process", file=sys.stderr)
+        import os
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--no-retry"],
+        )
+        return proc.returncode
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_retry())
