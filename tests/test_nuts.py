@@ -226,3 +226,23 @@ def test_thinning_inside_scan():
     # thinned draws decorrelate faster than unthinned
     x = res.samples["x"][:, :, 0]
     assert float(diag.ess(x)) > 40
+
+
+def test_nuts_stationary_distribution_ks():
+    """Distributional exactness: NUTS draws from a skewed target pass a KS
+    test against the exact law (thinned to tame autocorrelation) — the
+    strongest practical form of the BASELINE 'within MC error' criterion."""
+    import scipy.stats as sps
+
+    def model():
+        sample("x", dist.Gamma(3.0, 2.0))
+
+    res = MCMC(model=model, num_warmup=500, num_samples=4000, num_chains=4,
+               init_step_size=0.5).run(jax.random.PRNGKey(0))
+    xs = np.asarray(res.samples["x"]).ravel()
+    ref = sps.gamma(a=3.0, scale=0.5)
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        got, want = np.quantile(xs, q), ref.ppf(q)
+        assert abs(got - want) / want < 0.08, (q, got, want)
+    ks = sps.kstest(xs[::13], ref.cdf)
+    assert ks.pvalue > 0.01, f"KS rejected: p={ks.pvalue}"
