@@ -38,11 +38,13 @@ class ModelInfo(NamedTuple):
     site_shapes: dict         # latent name -> constrained shape
     unconstrained_shapes: dict  # latent name -> unconstrained shape
     has_subsample: bool
-    subsample_sites: dict     # "{plate}__idx" -> (size, subsample_size)
+    subsample_sites: dict     # "{plate}__idx" -> (size, subsample_size, replacement)
     param_names: tuple        # learnable model params (SURVEY.md C3 `param`)
     param_transforms: dict    # param name -> Transform
     param_init: dict          # param name -> unconstrained init value
     enum_sites: dict          # enumerated discrete site -> support size
+    enum_shapes: dict = {}    # enumerated site -> natural (non-enum) shape
+    enum_pad: int = 0         # max natural value rank across all sites (P)
 
     @property
     def unconstrained_dim(self):
@@ -65,8 +67,12 @@ def inspect_model(model, *args, rng_key=None, **kwargs) -> ModelInfo:
     latents, observed, deterministics = [], [], []
     transforms, shapes, ushapes, subsample_sites = {}, {}, {}, {}
     param_names, param_transforms, param_init = [], {}, {}
-    enum_sites = {}
+    enum_sites, enum_shapes = {}, {}
     has_subsample = False
+    enum_pad = 0
+    for site in tr.values():
+        if site["type"] in ("sample", "factor"):
+            enum_pad = max(enum_pad, len(jnp.shape(site["value"])))
     for name, site in tr.items():
         if site["type"] == "sample":
             if site["is_observed"]:
@@ -74,6 +80,7 @@ def inspect_model(model, *args, rng_key=None, **kwargs) -> ModelInfo:
             else:
                 if site.get("infer", {}).get("enumerate"):
                     enum_sites[name] = _enum_support_size(name, site["dist"])
+                    enum_shapes[name] = jnp.shape(site["value"])
                     continue
                 if site["dist"].support.is_discrete:
                     raise ValueError(
@@ -92,7 +99,10 @@ def inspect_model(model, *args, rng_key=None, **kwargs) -> ModelInfo:
             if site["subsample_size"] is not None \
                     and site["subsample_size"] < site["size"]:
                 has_subsample = True
-                subsample_sites[name] = (site["size"], site["subsample_size"])
+                subsample_sites[name] = (
+                    site["size"], site["subsample_size"],
+                    site.get("replacement", True),
+                )
         elif site["type"] == "param":
             t = biject_to(site["constraint"])
             param_transforms[name] = t
@@ -104,16 +114,13 @@ def inspect_model(model, *args, rng_key=None, **kwargs) -> ModelInfo:
         tuple(latents), tuple(observed), tuple(deterministics),
         transforms, shapes, ushapes, has_subsample, subsample_sites,
         tuple(param_names), param_transforms, param_init, enum_sites,
+        enum_shapes, enum_pad,
     )
 
 
 def _enum_support_size(name, d):
-    if jnp.shape(d.sample(jax.random.PRNGKey(0))) != ():
-        raise ValueError(
-            f"enumerate only supports scalar discrete sites; {name!r} has "
-            f"batch/event dims (use MixtureSameFamily for per-datapoint "
-            f"assignments)"
-        )
+    """Support size of an enumerable discrete site (scalar or plate-batched;
+    batched sites are marginalised per element, SURVEY.md C4)."""
     if hasattr(d, "num_categories"):
         return int(d.num_categories)
     from ..dist import constraints as _c
@@ -200,6 +207,104 @@ def build_logjoint(model, *args, **kwargs):
                 total = total + site["scale"] * jnp.sum(site["value"])
         return total
 
+    # -- vectorized discrete enumeration (SURVEY.md C4) ---------------------
+    # Each enumerated site e gets a distinct leading enumeration axis: its
+    # substituted value is arange(K_e) shaped (K_e, 1...[E-1-e ones], 1...[P
+    # ones]) so all enum axes and the natural (model) dims broadcast through
+    # ONE replay; the enum axes are then marginalised by variable
+    # elimination.  Batched (plate-local) sites are marginalised per plate
+    # element — the dependent terms' batch shapes must right-align with the
+    # site's batch shape (the usual broadcast-enumeration contract).
+    _enum_names = sorted(info.enum_sites)
+    _E = len(_enum_names)
+    _P = info.enum_pad
+
+    def _enum_assign():
+        out = {}
+        for e, n in enumerate(_enum_names):
+            k = info.enum_sites[n]
+            out[n] = jnp.arange(k, dtype=jnp.int32).reshape(
+                (k,) + (1,) * (_E - 1 - e) + (1,) * _P
+            )
+        return out
+
+    def _collect_terms(tr, uparams):
+        """(lp, scale, is_lik) per sample/factor term, left-padded to rank
+        E+P: enum axis e sits at position e, natural dims right-aligned in
+        the trailing P slots."""
+        full_rank = _E + _P
+        terms = []
+
+        def pad(x):
+            x = jnp.asarray(x)
+            if x.ndim > full_rank:
+                raise ValueError(
+                    f"enumeration produced a log-prob of rank {x.ndim} > "
+                    f"{full_rank}; model shapes must stay within the "
+                    "discovery-trace ranks"
+                )
+            return x.reshape((1,) * (full_rank - x.ndim) + x.shape)
+
+        for name, site in tr.items():
+            if site["type"] == "sample":
+                lp = site["dist"].log_prob(site["value"])
+                terms.append((pad(lp), site["scale"], site["is_observed"]))
+                if name in info.transforms:
+                    ldj = info.transforms[name].log_det_jacobian(
+                        uparams[name])
+                    terms.append((pad(ldj), site["scale"], False))
+            elif site["type"] == "factor":
+                terms.append((pad(site["value"]), site["scale"], True))
+        return terms
+
+    def _eliminate(terms):
+        """Marginalise the enum axes by vectorized variable elimination:
+        for each enum axis (innermost first), sum the involved terms'
+        natural dims down to the site's own plate dims, add them
+        elementwise, and logsumexp the axis away.  K scalar sites cost K
+        eliminations of one K-vector each — not K^n replays."""
+        from jax.scipy.special import logsumexp as _lse
+
+        terms = list(terms)
+        for e in reversed(range(_E)):
+            r_e = len(info.enum_shapes[_enum_names[e]])
+            involved = [t for t in terms if t[0].shape[e] != 1]
+            if not involved:
+                continue
+            rest = [t for t in terms if t[0].shape[e] == 1]
+            # reduce natural axes to the left of the site's (right-aligned)
+            # plate dims — they belong to independent plates and sum freely
+            red = tuple(range(_E, _E + _P - r_e))
+            if red:
+                involved = [(jnp.sum(lp, axis=red, keepdims=True), s)
+                            for lp, s in involved]
+            s0 = involved[0][1]
+            if all(s == s0 for _, s in involved):
+                combined = involved[0][0]
+                for lp, _ in involved[1:]:
+                    combined = combined + lp
+                terms = rest + [(_lse(combined, axis=e, keepdims=True), s0)]
+            else:
+                if r_e:
+                    raise ValueError(
+                        f"enumerated site {_enum_names[e]!r} is plate-local "
+                        "but its dependent terms carry different plate "
+                        "scales; keep the site and its dependents in the "
+                        "same (sub)sampled plate"
+                    )
+                # scalar site, mixed scales (e.g. prior outside a subsampled
+                # plate): scales apply to the fully-reduced terms
+                red_all = tuple(range(_E, _E + _P))
+                combined = None
+                for lp, s in involved:
+                    v = s * jnp.sum(lp, axis=red_all, keepdims=True)
+                    combined = v if combined is None else combined + v
+                terms = rest + [(_lse(combined, axis=e, keepdims=True), 1.0)]
+        total = jnp.zeros((), jnp.result_type(float))
+        for lp, s in terms:
+            total = total + s * jnp.sum(lp)
+        return total
+
     def logdensity(uparams, rng_key=None, subsample=None, model_args=None,
                    model_kwargs=None, params=None):
         # model_args/model_kwargs override the build-time arguments; pass the
@@ -211,32 +316,36 @@ def build_logjoint(model, *args, **kwargs):
             tr, _ = _replay(uparams, rng_key, subsample, model_args,
                             model_kwargs, params)
             return _accumulate(tr, uparams)
-        # marginalise enumerated scalar discrete sites: replay per combo of
-        # the (static, small) product support and logsumexp the joints
-        import itertools
-
-        names = sorted(info.enum_sites)
-        lps = []
-        for combo in itertools.product(
-            *[range(info.enum_sites[n]) for n in names]
-        ):
-            assign = {
-                n: jnp.asarray(v, jnp.int32) for n, v in zip(names, combo)
-            }
-            sub = dict(subsample or {})
-            sub.update(assign)
-            tr, _ = _replay(uparams, rng_key, sub, model_args,
-                            model_kwargs, params)
-            lps.append(_accumulate(tr, uparams))
-        from jax.scipy.special import logsumexp as _lse
-
-        return _lse(jnp.stack(lps))
+        sub = dict(subsample or {})
+        sub.update(_enum_assign())
+        tr, _ = _replay(uparams, rng_key, sub, model_args, model_kwargs,
+                        params)
+        terms = _collect_terms(tr, uparams)
+        return _eliminate([(lp, s) for lp, s, _ in terms])
 
     def logdensity_parts(uparams, rng_key=None, subsample=None,
-                         model_args=None, model_kwargs=None):
+                         model_args=None, model_kwargs=None, params=None):
         """(log prior + Jacobians, log likelihood) — the split tempered SMC
-        needs (SURVEY.md C9: p_beta ∝ prior · lik^beta)."""
-        tr, _ = _replay(uparams, rng_key, subsample, model_args, model_kwargs)
+        needs (SURVEY.md C9: p_beta ∝ prior · lik^beta).
+
+        With enumerated sites both parts are *marginal*:
+        ``log_prior = log Σ_z p(θ, z)`` and
+        ``log_lik = log p(x | θ) = log Σ_z p(z | θ) p(x | θ, z)`` — computed
+        as full marginal joint minus marginal prior, so prior + lik always
+        recomposes the marginal joint exactly."""
+        if info.enum_sites:
+            sub = dict(subsample or {})
+            sub.update(_enum_assign())
+            tr, _ = _replay(uparams, rng_key, sub, model_args, model_kwargs,
+                            params)
+            terms = _collect_terms(tr, uparams)
+            log_prior = _eliminate(
+                [(lp, s) for lp, s, is_lik in terms if not is_lik]
+            )
+            log_full = _eliminate([(lp, s) for lp, s, _ in terms])
+            return log_prior, log_full - log_prior
+        tr, _ = _replay(uparams, rng_key, subsample, model_args, model_kwargs,
+                        params)
         ftype = jnp.result_type(float)
         log_prior = jnp.zeros((), ftype)
         log_lik = jnp.zeros((), ftype)

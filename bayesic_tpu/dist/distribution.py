@@ -106,8 +106,15 @@ class Distribution:
 
     # -- structure helpers -------------------------------------------------
     def expand(self, batch_shape):
-        """Broadcast this distribution's batch shape to ``batch_shape``."""
-        batch_shape = tuple(batch_shape)
+        """Broadcast this distribution's batch shape to ``batch_shape``.
+
+        Union semantics: the result batch shape is
+        ``broadcast_shapes(self.batch_shape, batch_shape)``, so extra leading
+        axes already present (e.g. enumeration axes injected by the log-joint
+        compiler, SURVEY.md C4) survive an ``expand`` written for the natural
+        model shape."""
+        batch_shape = lax.broadcast_shapes(self.batch_shape,
+                                           tuple(batch_shape))
         new = object.__new__(type(self))
         for k, v in self.__dict__.items():
             object.__setattr__(new, k, v)

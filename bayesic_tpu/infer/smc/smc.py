@@ -6,8 +6,10 @@ collectives"; configs[3] GMM-via-SMC).
 
 Algorithm (one jit-compiled ``while_loop`` over tempering stages):
 
-1. adapt Δβ by bisection so the post-reweight ESS hits ``ess_target·N``
-   (fixed 26-iteration bisection — no dynamic control flow);
+1. adapt Δβ by bisection so the *conditional* ESS (Zhou–Johansen–Aston;
+   incremental-weight degradation against the carried weights) hits
+   ``ess_target·N`` (fixed 26-iteration bisection — no dynamic control
+   flow);
 2. reweight  log w += Δβ · loglik(particle);
 3. resample (systematic, shared stratified offset) when ESS < threshold —
    computed unconditionally and selected by ``where`` so the collective
@@ -133,12 +135,25 @@ class SMC:
             q = jax.device_put(q, self.particle_sharding)
         return q
 
-    def _next_beta(self, beta, loglik):
-        """Bisection: largest Δβ with ESS(Δβ·loglik) >= ess_target·N."""
+    def _next_beta(self, beta, loglik, log_w):
+        """Bisection: largest Δβ keeping the *conditional* ESS at
+        ess_target·N.
+
+        CESS(Δβ) = N · (Σ W_i v_i)² / Σ W_i v_i²  with v_i = lik_i^Δβ and W
+        the carried normalized weights (Zhou, Johansen & Aston 2016): it
+        measures the incremental weight degradation *relative to the carried
+        weights* — so the criterion reflects the real post-reweight weights
+        (ADVICE r1: Δβ·loglik alone ignores log_w) without stalling when the
+        carried ESS already sits near the target (CESS(0) = N always).
+        """
         target = self.ess_target * self.n
+        logw_n = normalize_log_weights(log_w)
+        log_n = jnp.log(jnp.asarray(float(self.n)))
 
         def ess_at(delta):
-            return effective_sample_size(delta * loglik)
+            num = 2.0 * logsumexp(logw_n + delta * loglik)
+            den = logsumexp(logw_n + 2.0 * delta * loglik)
+            return jnp.exp(log_n + num - den)
 
         def body(_, bounds):
             lo, hi = bounds
@@ -223,7 +238,7 @@ class SMC:
                 k_res, k_mut = jax.random.split(k_stage)
 
                 ll = self._loglik(c.q)
-                new_beta = self._next_beta(c.beta, ll)
+                new_beta = self._next_beta(c.beta, ll, c.log_w)
                 delta = new_beta - c.beta
 
                 # evidence increment: log sum_i W_i lik_i^delta

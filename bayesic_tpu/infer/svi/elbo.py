@@ -23,14 +23,20 @@ __all__ = ["draw_subsample", "make_elbo"]
 
 def draw_subsample(info, key):
     """Draw one index array per subsampled plate (shared across particles).
-    With-replacement uniform draws: unbiased and O(B) (SURVEY.md C5)."""
+
+    Honors the plate's ``replacement`` flag: with-replacement uniform draws
+    are unbiased and O(B) (SURVEY.md C5, the default); ``replacement=False``
+    plates get an O(N log N) no-replacement draw matching their declared
+    semantics (ADVICE r1)."""
     out = {}
-    for i, (name, (size, ssize)) in enumerate(
+    for i, (name, (size, ssize, replacement)) in enumerate(
         sorted(info.subsample_sites.items())
     ):
-        out[name] = jax.random.randint(
-            jax.random.fold_in(key, i), (ssize,), 0, size
-        )
+        k = jax.random.fold_in(key, i)
+        if replacement:
+            out[name] = jax.random.randint(k, (ssize,), 0, size)
+        else:
+            out[name] = jax.random.choice(k, size, (ssize,), replace=False)
     return out
 
 

@@ -8,8 +8,10 @@ fetched (SURVEY.md §3.1 call stack).
 
 Data parallelism (SURVEY.md C12) happens *above* this module: shard the data
 pytree over the mesh's ``data`` axis, keep params replicated, and jit —
-XLA inserts the gradient psum automatically.  ``grad_transform`` is the hook
-for the explicit shard_map path (``parallel.dp``).
+XLA inserts the gradient psum automatically.  When auto partitioning makes a
+wrong choice, ``parallel.dp.dp_svi_run`` is the explicit shard_map path with
+a hand-placed gradient psum; ``grad_transform`` is a hook for custom
+gradient post-processing (clipping, quantization, debugging taps).
 """
 
 from __future__ import annotations

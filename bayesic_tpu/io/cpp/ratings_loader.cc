@@ -144,8 +144,9 @@ void* btpr_open(const char* path) {
   uint64_t magic;
   memcpy(&magic, ds->base, 8);
   memcpy(&ds->n, ds->base + 8, 8);
-  const size_t need = 16 + ds->n * (4 + 4 + 4);
-  if (magic != kMagic || ds->bytes < need) {
+  // Overflow-safe bounds check: validate n against the file size BEFORE
+  // computing byte offsets (16 + n*12 can wrap size_t for a corrupt header).
+  if (magic != kMagic || ds->n > (ds->bytes - 16) / 12) {
     munmap(base, st.st_size);
     ::close(fd);
     delete ds;

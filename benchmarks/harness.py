@@ -347,7 +347,22 @@ def main():
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace (TensorBoard/"
                          "Perfetto) of the run into LOGDIR (SURVEY.md §5)")
+    ap.add_argument("--fault-inject", default=None, metavar="step=K",
+                    help="run the SURVEY.md §5 failure-recovery scenario: "
+                         "2 local processes, one killed at step K, restart "
+                         "from checkpoint, assert bit-identical recovery")
     args = ap.parse_args()
+    if args.fault_inject:
+        kv = dict(item.split("=") for item in args.fault_inject.split(","))
+        from benchmarks.fault_inject import run_fault_inject
+
+        records = run_fault_inject(fault_step=int(kv.get("step", 20)),
+                                   total=int(kv.get("total", 30)),
+                                   chunk=int(kv.get("chunk", 10)))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(records, f, indent=2)
+        return records
     if args.profile:
         from bayesic_tpu.utils.metrics import profile_trace
 

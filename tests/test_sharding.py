@@ -39,8 +39,10 @@ def test_make_mesh_shapes():
         make_mesh({"data": 3})
 
 
-def test_sharded_resampler_matches_global():
-    """shard_map resampler == single-device resampler, bit-for-bit."""
+@pytest.mark.parametrize("routing", ["ring", "all_gather"])
+def test_sharded_resampler_matches_global(routing):
+    """shard_map resampler (both payload routings) == single-device
+    resampler, bit-for-bit."""
     n = 64
     mesh = make_mesh({"particle": 8})
     lw = jax.random.normal(jax.random.PRNGKey(1), (n,))
@@ -50,7 +52,7 @@ def test_sharded_resampler_matches_global():
     anc_ref = systematic_ancestors(KEY, lw)
     ref = jax.tree_util.tree_map(lambda x: jnp.take(x, anc_ref, 0), particles)
 
-    fn = systematic_resample_shard_map("particle")
+    fn = systematic_resample_shard_map("particle", routing=routing)
     sharded = jax.shard_map(
         lambda k, w, p: fn(k, w, p),
         mesh=mesh,
@@ -63,8 +65,42 @@ def test_sharded_resampler_matches_global():
 
     np.testing.assert_array_equal(np.asarray(anc), np.asarray(anc_ref))
     for k in particles:
-        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
-                                   rtol=1e-6)
+        # payload rows are exact copies in both routings
+        np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
+
+
+def test_ring_resampler_million_particles():
+    """2^20 particles over 8 shards with ring routing (VERDICT r1 item 4):
+    the all_gather path would hold the full payload on every device; the
+    ring holds one shard-chunk.  Checks (a) routing exactness — routing
+    each particle's own global index must reproduce the ancestor vector —
+    and (b) the systematic floor/ceil guarantee |count_i - N w_i| <= 1,
+    which a drifting weight cumsum would break (compensated_cumsum)."""
+    n = 2 ** 20
+    mesh = make_mesh({"particle": 8})
+    lw = 3.0 * jax.random.normal(jax.random.PRNGKey(5), (n,))
+    gid = jnp.arange(n, dtype=jnp.int32)
+
+    fn = systematic_resample_shard_map("particle", routing="ring")
+    sharded = jax.jit(jax.shard_map(
+        lambda k, w, p: fn(k, w, p),
+        mesh=mesh,
+        in_specs=(P(), P("particle"), P("particle")),
+        out_specs=(P("particle"), P("particle")),
+    ))
+    lw_s = jax.device_put(lw, NamedSharding(mesh, P("particle")))
+    gid_s = jax.device_put(gid, NamedSharding(mesh, P("particle")))
+    out, anc = sharded(KEY, lw_s, gid_s)
+
+    anc = np.asarray(anc)
+    np.testing.assert_array_equal(np.asarray(out), anc)   # (a)
+
+    from bayesic_tpu.parallel import normalize_log_weights
+
+    w = np.exp(np.asarray(normalize_log_weights(lw), dtype=np.float64))
+    w = w / w.sum()
+    counts = np.bincount(anc, minlength=n)
+    assert np.max(np.abs(counts - n * w)) <= 1.0 + 1e-3   # (b)
 
 
 def test_dp_svi_matches_single_device():
@@ -98,6 +134,40 @@ def test_dp_svi_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(res_single.params[k]),
             np.asarray(res_sharded.params[k]), rtol=2e-3, atol=2e-3,
+        )
+
+
+def test_explicit_dp_shard_map_matches_single_device():
+    """parallel.dp.dp_svi_run (hand-placed psum choreography) == plain
+    SVI.run with the same key (VERDICT r1 item 9)."""
+    from bayesic_tpu.parallel import dp_svi_run
+
+    rng = np.random.default_rng(7)
+    n = 256
+    x = rng.normal(0, 1, n).astype(np.float32)
+    y = (0.8 * x + 0.3 + rng.normal(0, 0.4, n)).astype(np.float32)
+
+    def model(xa, ya):
+        w = sample("w", dist.Normal(0.0, 2.0))
+        b = sample("b", dist.Normal(0.0, 2.0))
+        sample("obs", dist.Normal(w * xa + b, 0.4).to_event(1), obs=ya)
+
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    svi = SVI(model, MeanFieldGuide, optax.adam(0.05), model_args=(xj, yj))
+
+    res_ref = svi.run(KEY, 200, model_args=(xj, yj))
+
+    mesh = make_mesh({"data": 8})
+    res_dp = dp_svi_run(svi, mesh, KEY, (xj, yj), 200)
+
+    np.testing.assert_allclose(
+        np.asarray(res_ref.losses), np.asarray(res_dp.losses),
+        rtol=2e-4, atol=2e-4,
+    )
+    for k in res_ref.params:
+        np.testing.assert_allclose(
+            np.asarray(res_ref.params[k]), np.asarray(res_dp.params[k]),
+            rtol=2e-3, atol=2e-3,
         )
 
 
