@@ -145,8 +145,12 @@ class MCMC:
         return jnp.ones(self.dim)
 
     # ------------------------------------------------------------------
-    def warmup_and_sample(self, key):
-        """Build the full (jit-able) warmup+sampling computation."""
+    def _build_program(self, key):
+        """Shared construction for all run modes: returns
+        ``(carry0, warm_step, sample_step)`` where both step functions index
+        the adaptation schedule and the PRNG stream by *absolute* step t —
+        so any chunking of the scans reproduces the monolithic run
+        exactly."""
         key_init, key_warm, key_samp = jax.random.split(key, 3)
         states = self._init_states(key_init)
 
@@ -261,14 +265,27 @@ class MCMC:
             )
             return (state, step_size, inv_mass), collect
 
-        def run_all():
-            step0 = (
-                jnp.asarray(self.init_step_size) if self.shared_adapt
-                else jnp.full((self.num_chains,), self.init_step_size)
-            )
-            carry0 = _WarmupCarry(states, da0, wf0, inv_mass0, step0)
+        step0 = (
+            jnp.asarray(self.init_step_size) if self.shared_adapt
+            else jnp.full((self.num_chains,), self.init_step_size)
+        )
+        carry0 = _WarmupCarry(states, da0, wf0, inv_mass0, step0)
+        return carry0, warm_step, sample_step
+
+    def warmup_and_sample(self, key, with_states=False):
+        """Build the full (jit-able) warmup+sampling computation.
+
+        With ``with_states=True`` returns ``(run_all, carry0)`` where
+        ``run_all(carry0)`` takes the (possibly chain-sharded) initial
+        carry as a traced jit argument — required for cross-process
+        shardings (a multi-host array cannot be a closure constant) and
+        kinder to remote-compile latency.  The default zero-arg form is
+        kept for single-process callers."""
+        carry0, warm_step, sample_step = self._build_program(key)
+
+        def run_all(c0):
             carry, _ = lax.scan(
-                warm_step, carry0, jnp.arange(self.num_warmup)
+                warm_step, c0, jnp.arange(self.num_warmup)
             )
             step_size = jnp.exp(carry.da.log_step_avg)
             samp0 = (carry.state, step_size, carry.inv_mass)
@@ -278,13 +295,71 @@ class MCMC:
             qs, divs, accs, depths, nsteps = collected
             return qs, divs, accs, depths, nsteps, step_size, carry.inv_mass
 
-        return run_all
+        if with_states:
+            return run_all, carry0
+        return lambda: run_all(carry0)
 
     def run(self, key, jit=True) -> MCMCResult:
-        run_all = self.warmup_and_sample(key)
+        run_all, carry0 = self.warmup_and_sample(key, with_states=True)
         if jit:
             run_all = jax.jit(run_all)
-        qs, divs, accs, depths, nsteps, step_size, inv_mass = run_all()
+        out = run_all(carry0)
+        return self._package(*out)
+
+    def run_segmented(self, key, warmup_chunk=100, sample_chunk=100,
+                      fence=None) -> MCMCResult:
+        """Warmup+sampling as a sequence of shorter XLA programs with a
+        host fence between segments, numerically identical to :meth:`run`
+        (both index schedule and PRNG stream by absolute step).
+
+        This is the long-adaptation path for remote runtimes that fault on
+        very long fused scan programs (the observed 128-chain x 400-step
+        kernel fault): each segment is a bounded program, state threads
+        through the host fence, and collected samples land on the host per
+        chunk (bounding device memory at many chains).  ``fence`` defaults
+        to a ``device_get`` of a value that data-depends on the whole
+        segment."""
+        carry0, warm_step, sample_step = self._build_program(key)
+        if fence is None:
+            def fence(leaf):
+                return np.asarray(jax.device_get(leaf))
+
+        warm_fns, samp_fns = {}, {}
+
+        def warm_fn(length):
+            if length not in warm_fns:
+                warm_fns[length] = jax.jit(lambda c, lo: lax.scan(
+                    warm_step, c, lo + jnp.arange(length))[0])
+            return warm_fns[length]
+
+        def samp_fn(length):
+            if length not in samp_fns:
+                samp_fns[length] = jax.jit(lambda c, lo: lax.scan(
+                    sample_step, c, lo + jnp.arange(length)))
+            return samp_fns[length]
+
+        carry = carry0
+        for lo in range(0, self.num_warmup, warmup_chunk):
+            n = min(warmup_chunk, self.num_warmup - lo)
+            carry = warm_fn(n)(carry, jnp.asarray(lo, jnp.int32))
+            fence(carry.step_size)
+
+        step_size = jnp.exp(carry.da.log_step_avg)
+        samp = (carry.state, step_size, carry.inv_mass)
+        chunks = []
+        for lo in range(0, self.num_samples, sample_chunk):
+            n = min(sample_chunk, self.num_samples - lo)
+            samp, coll = samp_fn(n)(samp, jnp.asarray(lo, jnp.int32))
+            chunks.append([np.asarray(jax.device_get(a)) for a in coll])
+
+        cat = [jnp.asarray(np.concatenate([c[i] for c in chunks]))
+               for i in range(5)]
+        qs, divs, accs, depths, nsteps = cat
+        return self._package(qs, divs, accs, depths, nsteps, step_size,
+                             carry.inv_mass)
+
+    def _package(self, qs, divs, accs, depths, nsteps, step_size,
+                 inv_mass) -> MCMCResult:
         # qs: (num_samples, chains, dim) -> (chains, num_samples, dim)
         qs = jnp.swapaxes(qs, 0, 1)
         flat = qs.reshape(-1, self.dim)

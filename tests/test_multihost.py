@@ -9,6 +9,7 @@ import subprocess
 import sys
 import textwrap
 
+import numpy as np
 import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -75,6 +76,69 @@ WORKER = textwrap.dedent("""
     fp = int(replicated_fingerprint(res.params))
     print(f"RESULT {pid} {fp} {float(res.losses[-1]):.6f}", flush=True)
 """)
+
+
+INFER_BODY = textwrap.dedent("""
+    import jax.numpy as jnp, numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import bayesic_tpu.dist as dist
+    from bayesic_tpu.core import sample
+    from bayesic_tpu.infer.mcmc import MCMC
+    from bayesic_tpu.infer.smc import SMC
+    from bayesic_tpu.parallel import make_mesh
+
+    yv = jnp.asarray(np.linspace(-0.5, 1.5, 16).astype(np.float32))
+
+    def model():
+        mu = sample("mu", dist.Normal(0.0, 3.0))
+        sample("obs", dist.Normal(mu, 1.0).expand((16,)).to_event(1), obs=yv)
+
+    # ---- sharded-chain NUTS across all devices (1 per process when
+    # distributed; SURVEY.md §4.6 / VERDICT r1 item 7) -----------------------
+    n_dev = jax.device_count()
+    mesh = make_mesh({"chain": n_dev})
+    mcmc = MCMC(model=model, num_warmup=50, num_samples=50, num_chains=4,
+                init_step_size=0.5,
+                chain_sharding=NamedSharding(mesh, P("chain")))
+    res = mcmc.run(jax.random.PRNGKey(0))
+    q = res.unconstrained
+    nuts_mean = float(jnp.mean(q))
+    nuts_std = float(jnp.std(q))
+    nuts_m3 = float(jnp.mean(q ** 3))
+
+    # ---- sharded-particle SMC with at least one resampling stage ----------
+    pmesh = make_mesh({"particle": n_dev})
+    smc = SMC(model, num_particles=128, mutation_steps=2,
+              hmc_leapfrog_steps=3, ess_target=0.9, resample_threshold=0.9,
+              particle_sharding=NamedSharding(pmesh, P("particle")))
+    sres = smc.run(jax.random.PRNGKey(1))
+    smc_logz = float(sres.log_evidence)
+    smc_mean = float(jnp.sum(jnp.exp(sres.log_weights)
+                             * sres.unconstrained[:, 0]))
+    stages = int(sres.num_stages)
+    print(f"INFER {nuts_mean:.6f} {nuts_std:.6f} {nuts_m3:.6f} "
+          f"{smc_logz:.6f} {smc_mean:.6f} {stages}", flush=True)
+""")
+
+WORKER_INFER = textwrap.dedent("""
+    import os, sys
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"127.0.0.1:{port}", nproc, pid)
+    assert jax.process_count() == nproc
+""") + INFER_BODY
+
+REF_INFER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+""") + INFER_BODY
 
 
 def _free_port():
@@ -148,6 +212,59 @@ def test_checkpoint_resume_matches_uninterrupted(worker_file, tmp_path):
 
     assert ref[0][0] == got[0][0], "resume diverged from continuous run"
     assert abs(ref[0][1] - got[0][1]) < 1e-6
+
+
+def _parse_infer(out):
+    for line in out.splitlines():
+        if line.startswith("INFER"):
+            vals = line.split()[1:]
+            return [float(v) for v in vals[:5]] + [int(vals[5])]
+    raise AssertionError(f"no INFER line in output:\n{out[-2000:]}")
+
+
+def test_two_process_nuts_and_smc_match_single_process(tmp_path):
+    """SURVEY.md §4.6 / VERDICT r1 item 7: a sharded-chain NUTS run and a
+    sharded-particle SMC run (with resampling stages) across 2 REAL
+    jax.distributed processes must agree with the single-process run —
+    randomness is keyed by logical index, never by device."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = ""
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+
+    ref_file = tmp_path / "ref_infer.py"
+    ref_file.write_text(REF_INFER)
+    ref_proc = subprocess.run(
+        [sys.executable, str(ref_file)], capture_output=True, text=True,
+        env=env, timeout=300,
+    )
+    assert ref_proc.returncode == 0, ref_proc.stderr[-2000:]
+    ref = _parse_infer(ref_proc.stdout)
+
+    worker = tmp_path / "worker_infer.py"
+    worker.write_text(WORKER_INFER)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for code, _, err in outs:
+        assert code == 0, f"worker failed:\n{err[-2000:]}"
+    got0 = _parse_infer(outs[0][1])
+    got1 = _parse_infer(outs[1][1])
+
+    assert got0 == got1, "the two processes disagree with each other"
+    assert got0[5] >= 2 and ref[5] >= 2, "SMC never resampled/tempered"
+    assert got0[5] == ref[5], "stage count changed under sharding"
+    np.testing.assert_allclose(got0[:5], ref[:5], rtol=5e-4, atol=5e-4)
 
 
 def test_fault_injection_one_host_dies_then_restart(worker_file, tmp_path):

@@ -246,3 +246,30 @@ def test_nuts_stationary_distribution_ks():
         assert abs(got - want) / want < 0.08, (q, got, want)
     ks = sps.kstest(xs[::13], ref.cdf)
     assert ks.pvalue > 0.01, f"KS rejected: p={ks.pvalue}"
+
+
+def test_run_segmented_matches_monolithic():
+    """run_segmented (chunked XLA programs with host fences, the
+    long-adaptation path for the remote TPU runtime) must reproduce run()
+    exactly — both index schedule and PRNG stream by absolute step."""
+    yv = jnp.asarray(np.linspace(-0.5, 1.5, 16).astype(np.float32))
+
+    def model():
+        mu = sample("mu", dist.Normal(0.0, 3.0))
+        sample("obs", dist.Normal(mu, 1.0).expand((16,)).to_event(1), obs=yv)
+
+    kw = dict(model=model, num_warmup=75, num_samples=50, num_chains=4,
+              init_step_size=0.5)
+    r1 = MCMC(**kw).run(KEY)
+    # uneven chunks exercise the remainder-program path
+    r2 = MCMC(**kw).run_segmented(KEY, warmup_chunk=30, sample_chunk=20)
+    np.testing.assert_allclose(np.asarray(r1.unconstrained),
+                               np.asarray(r2.unconstrained),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(r1.extra["step_size"]
+                                     if np.ndim(r1.extra["step_size"]) == 0
+                                     else r1.extra["step_size"][0]),
+                               float(r2.extra["step_size"]
+                                     if np.ndim(r2.extra["step_size"]) == 0
+                                     else r2.extra["step_size"][0]),
+                               rtol=1e-6)
