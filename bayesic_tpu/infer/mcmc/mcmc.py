@@ -145,19 +145,8 @@ class MCMC:
         return jnp.ones(self.dim)
 
     # ------------------------------------------------------------------
-    def _build_program(self, key):
-        """Shared construction for all run modes: returns
-        ``(carry0, warm_step, sample_step)`` where both step functions index
-        the adaptation schedule and the PRNG stream by *absolute* step t —
-        so any chunking of the scans reproduces the monolithic run
-        exactly."""
-        key_init, key_warm, key_samp = jax.random.split(key, 3)
+    def _initial_carry(self, key_init):
         states = self._init_states(key_init)
-
-        in_slow, window_end = build_schedule(self.num_warmup)
-        in_slow = jnp.asarray(in_slow)
-        window_end = jnp.asarray(window_end)
-
         if self.shared_adapt:
             inv_mass0 = self._initial_mass()
             da0 = da_init(jnp.asarray(self.init_step_size))
@@ -173,11 +162,26 @@ class MCMC:
             wf0 = jax.vmap(
                 lambda _: welford_init(self.dim, dense=self.dense_mass)
             )(jnp.arange(self.num_chains))
+        step0 = (
+            jnp.asarray(self.init_step_size) if self.shared_adapt
+            else jnp.full((self.num_chains,), self.init_step_size)
+        )
+        return _WarmupCarry(states, da0, wf0, inv_mass0, step0)
+
+    def _build_steps(self):
+        """Key-independent step builders shared by all run modes: returns
+        ``(warm_step, sample_step)``, each taking ``(key, carry, t)`` with t
+        the *absolute* step — so any chunking of the scans reproduces the
+        monolithic run exactly, and the PRNG keys stay traced arguments
+        (fresh keys never trigger a recompile)."""
+        in_slow, window_end = build_schedule(self.num_warmup)
+        in_slow = jnp.asarray(in_slow)
+        window_end = jnp.asarray(window_end)
 
         kernel = self._kernel
         target = self.target_accept
 
-        def warm_step(carry: _WarmupCarry, t):
+        def warm_step(key_warm, carry: _WarmupCarry, t):
             keys = jax.vmap(
                 lambda c: jax.random.fold_in(jax.random.fold_in(key_warm, t),
                                              c)
@@ -230,7 +234,7 @@ class MCMC:
             )
             return new_carry, info.accept_prob
 
-        def one_transition(state, step_size, inv_mass, t):
+        def one_transition(key_samp, state, step_size, inv_mass, t):
             keys = jax.vmap(
                 lambda c: jax.random.fold_in(jax.random.fold_in(key_samp, t),
                                              c)
@@ -241,7 +245,7 @@ class MCMC:
                 )(keys, state, step_size, inv_mass)
             return jax.vmap(kernel)(keys, state, step_size, inv_mass)
 
-        def sample_step(carry, t):
+        def sample_step(key_samp, carry, t):
             # in-scan thinning: `thin` transitions per collected sample, so
             # the output buffer holds only kept draws (memory matters at
             # 1024 chains, SURVEY.md §3.2 "thinned states written to sharded
@@ -249,13 +253,13 @@ class MCMC:
             state, step_size, inv_mass = carry
 
             def inner(i, st):
-                st, _ = one_transition(st, step_size, inv_mass,
+                st, _ = one_transition(key_samp, st, step_size, inv_mass,
                                        t * self.thin + i)
                 return st
 
             if self.thin > 1:
                 state = lax.fori_loop(0, self.thin - 1, inner, state)
-            state, info = one_transition(state, step_size, inv_mass,
+            state, info = one_transition(key_samp, state, step_size, inv_mass,
                                          t * self.thin + self.thin - 1)
             collect = (
                 state.q, info.diverging, info.accept_prob,
@@ -265,12 +269,7 @@ class MCMC:
             )
             return (state, step_size, inv_mass), collect
 
-        step0 = (
-            jnp.asarray(self.init_step_size) if self.shared_adapt
-            else jnp.full((self.num_chains,), self.init_step_size)
-        )
-        carry0 = _WarmupCarry(states, da0, wf0, inv_mass0, step0)
-        return carry0, warm_step, sample_step
+        return warm_step, sample_step
 
     def warmup_and_sample(self, key, with_states=False):
         """Build the full (jit-able) warmup+sampling computation.
@@ -281,16 +280,20 @@ class MCMC:
         shardings (a multi-host array cannot be a closure constant) and
         kinder to remote-compile latency.  The default zero-arg form is
         kept for single-process callers."""
-        carry0, warm_step, sample_step = self._build_program(key)
+        key_init, key_warm, key_samp = jax.random.split(key, 3)
+        carry0 = self._initial_carry(key_init)
+        warm_step, sample_step = self._build_steps()
 
         def run_all(c0):
             carry, _ = lax.scan(
-                warm_step, c0, jnp.arange(self.num_warmup)
+                lambda c, t: warm_step(key_warm, c, t), c0,
+                jnp.arange(self.num_warmup)
             )
             step_size = jnp.exp(carry.da.log_step_avg)
             samp0 = (carry.state, step_size, carry.inv_mass)
             _, collected = lax.scan(
-                sample_step, samp0, jnp.arange(self.num_samples)
+                lambda c, t: sample_step(key_samp, c, t), samp0,
+                jnp.arange(self.num_samples)
             )
             qs, divs, accs, depths, nsteps = collected
             return qs, divs, accs, depths, nsteps, step_size, carry.inv_mass
@@ -318,30 +321,38 @@ class MCMC:
         through the host fence, and collected samples land on the host per
         chunk (bounding device memory at many chains).  ``fence`` defaults
         to a ``device_get`` of a value that data-depends on the whole
-        segment."""
-        carry0, warm_step, sample_step = self._build_program(key)
+        segment.  Compiled segment programs are cached on the instance and
+        keyed only by segment length — PRNG keys ride as traced arguments,
+        so repeated runs with fresh keys never recompile."""
+        key_init, key_warm, key_samp = jax.random.split(key, 3)
+        carry = self._initial_carry(key_init)
+        warm_step, sample_step = self._build_steps()
         if fence is None:
             def fence(leaf):
                 return np.asarray(jax.device_get(leaf))
 
-        warm_fns, samp_fns = {}, {}
+        if not hasattr(self, "_seg_fns"):
+            self._seg_fns = {}
 
         def warm_fn(length):
-            if length not in warm_fns:
-                warm_fns[length] = jax.jit(lambda c, lo: lax.scan(
-                    warm_step, c, lo + jnp.arange(length))[0])
-            return warm_fns[length]
+            k = ("warm", length)
+            if k not in self._seg_fns:
+                self._seg_fns[k] = jax.jit(lambda kw, c, lo: lax.scan(
+                    lambda cc, t: warm_step(kw, cc, t), c,
+                    lo + jnp.arange(length))[0])
+            return self._seg_fns[k]
 
         def samp_fn(length):
-            if length not in samp_fns:
-                samp_fns[length] = jax.jit(lambda c, lo: lax.scan(
-                    sample_step, c, lo + jnp.arange(length)))
-            return samp_fns[length]
+            k = ("samp", length)
+            if k not in self._seg_fns:
+                self._seg_fns[k] = jax.jit(lambda ks, c, lo: lax.scan(
+                    lambda cc, t: sample_step(ks, cc, t), c,
+                    lo + jnp.arange(length)))
+            return self._seg_fns[k]
 
-        carry = carry0
         for lo in range(0, self.num_warmup, warmup_chunk):
             n = min(warmup_chunk, self.num_warmup - lo)
-            carry = warm_fn(n)(carry, jnp.asarray(lo, jnp.int32))
+            carry = warm_fn(n)(key_warm, carry, jnp.asarray(lo, jnp.int32))
             fence(carry.step_size)
 
         step_size = jnp.exp(carry.da.log_step_avg)
@@ -349,7 +360,8 @@ class MCMC:
         chunks = []
         for lo in range(0, self.num_samples, sample_chunk):
             n = min(sample_chunk, self.num_samples - lo)
-            samp, coll = samp_fn(n)(samp, jnp.asarray(lo, jnp.int32))
+            samp, coll = samp_fn(n)(key_samp, samp,
+                                    jnp.asarray(lo, jnp.int32))
             chunks.append([np.asarray(jax.device_get(a)) for a in coll])
 
         cat = [jnp.asarray(np.concatenate([c[i] for c in chunks]))

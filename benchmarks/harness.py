@@ -11,10 +11,25 @@ Metrics (BASELINE.json `metric`):
     whatever devices the platform offers (real pod, or the virtual CPU mesh
     for rehearsal — SURVEY.md §4.5).
 
+PINNED MEASUREMENT PROTOCOL (VERDICT r1 item 2 — one format, stated
+variance, same-sweep comparisons only):
+  * one untimed compile/warm pass, then ``REPS`` (=3) timed reps;
+  * every rep threads EVOLVING state (SVI) or a FRESH PRNG key (MCMC/SMC)
+    through the program, and fences with a real ``device_get`` of an output
+    that data-depends on the whole computation (the remote relay can
+    otherwise serve repeats / return early);
+  * the reported value is the MEDIAN rep; ``spread`` = (max-min)/median is
+    recorded alongside.  Cross-sweep comparisons must quote the spread.
+  * every record carries a roofline annotation (benchmarks/roofline.py):
+    estimated FLOPs + HBM bytes per step, achieved TFLOP/s, MFU, HBM
+    utilization, and which wall (compute/bandwidth/overhead) the workload
+    faces.
+
 Usage:
   python -m benchmarks.harness --model dlgm
   python -m benchmarks.harness --model all --out benchmarks/results.json
   python -m benchmarks.harness --model scaling   (multi-device DP-SVI)
+  python -m benchmarks.harness --fault-inject step=20
 """
 
 from __future__ import annotations
@@ -27,9 +42,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks import roofline
+
+# The axon sitecustomize overrides jax_platforms in every interpreter; honor
+# an explicit JAX_PLATFORMS=cpu (CPU rehearsal runs) by re-pinning it here.
+import os as _os_env  # noqa: E402
+
+if _os_env.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 # rbg bit generator: measurably faster per-step RNG on TPU (bench.py notes);
 # correctness under rbg covered in tests/test_svi.py
 jax.config.update("jax_default_prng_impl", "rbg")
+
+# Persistent compile cache: the remote-TPU compile service has minutes-level
+# latency variance; a warm cache makes bench wall time predictable.
+import os as _os  # noqa: E402
+
+_cache = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    ".jax_cache",
+)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+REPS = 3
+SMOKE = False     # set by --smoke: 10x fewer steps, CPU-sized validation
+
+
+def _steps(n):
+    return max(20, n // 10) if SMOKE else n
 
 
 def _force(out):
@@ -41,16 +84,14 @@ def _force(out):
     )
 
 
-def _timed(fn, *args, reps=3):
-    out = fn(*args)
-    _force(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _force(out)
-        best = min(best, time.perf_counter() - t0)
-    return out, best
+def _median_protocol(rep_fn, reps=REPS):
+    """Pinned protocol: rep_fn(i) runs one FULLY FENCED rep and returns its
+    wall seconds (state/keys must differ per rep).  Returns
+    (median, spread, times)."""
+    times = [rep_fn(i) for i in range(reps)]
+    med = float(np.median(times))
+    spread = float((max(times) - min(times)) / med) if med > 0 else 0.0
+    return med, spread, times
 
 
 def _record(name, metric, value, unit, **extra):
@@ -62,7 +103,9 @@ def _record(name, metric, value, unit, **extra):
     return rec
 
 
-def bench_svi(name, svi, key, steps, model_args=None):
+def bench_svi(name, svi, key, steps, model_args=None, cost=None,
+              dtype="float32"):
+    steps = _steps(steps)
     state = svi.init(key)
 
     # data rides as a traced jit argument, NOT a closure constant — embedded
@@ -75,35 +118,88 @@ def bench_svi(name, svi, key, steps, model_args=None):
         return jax.lax.scan(body, s, None, length=steps)
 
     blk = jax.jit(block)
-    # warmup/compile; then time reps with the EVOLVING state threaded
-    # through (identical inputs can be served from an execution cache by
-    # the remote runtime, which would fake the rate)
-    state, losses = blk(state, model_args)
+    state, losses = blk(state, model_args)   # compile/warm (untimed)
     _force(losses)
-    dt = float("inf")
-    for _ in range(3):
+
+    holder = {"state": state}
+
+    def rep(_i):
         t0 = time.perf_counter()
-        state, losses = blk(state, model_args)
+        holder["state"], losses = blk(holder["state"], model_args)
         _force(losses)
-        dt = min(dt, time.perf_counter() - t0)
-    return _record(name, "elbo_steps_per_s_per_chip", steps / dt /
-                   jax.device_count(), "steps/s/chip", steps=steps,
-                   final_loss=float(losses[-1]))
+        holder["losses"] = losses
+        return time.perf_counter() - t0
+
+    med, spread, times = _median_protocol(rep)
+    rate = steps / med / jax.device_count()
+    rec = _record(name, "elbo_steps_per_s_per_chip", rate, "steps/s/chip",
+                  steps=steps, reps=REPS, spread=round(spread, 4),
+                  final_loss=float(holder["losses"][-1]))
+    if cost is not None:
+        roofline.annotate(rec, *cost, steps_per_s=rate * jax.device_count(),
+                          dtype=dtype, platform=jax.default_backend())
+        print(json.dumps({k: rec[k] for k in
+                          ("model", "achieved_tflops", "mfu", "hbm_util",
+                           "bound")}), flush=True)
+    return rec
 
 
-def bench_nuts_ess(name, mcmc, key):
+def bench_nuts_ess(name, mcmc, key, segmented=None, reps=REPS,
+                   cost_per_leapfrog=None, rhat_gate=1.01):
+    """NUTS throughput with a convergence gate: each rep is a full
+    warmup+sampling run under a FRESH key; value = median min-ESS/s/chip;
+    the record carries max split-R-hat (must be < rhat_gate for the number
+    to count) and the leapfrog-level roofline."""
     from bayesic_tpu.utils import diagnostics as diag
 
-    run_all = jax.jit(mcmc.warmup_and_sample(key))
-    out, dt = _timed(run_all, reps=1)
-    qs = out[0]                     # (num_samples, chains, dim)
-    qs = jnp.swapaxes(qs, 0, 1)
-    ess = diag.ess(qs)              # per-dim
-    total_min_ess = float(jnp.min(ess))
-    return _record(name, "ess_per_s_per_chip",
-                   total_min_ess / dt / jax.device_count(), "ess/s/chip",
-                   min_ess=total_min_ess, wall_s=dt,
-                   chains=int(qs.shape[0]), samples=int(qs.shape[1]))
+    def once(k):
+        if segmented:
+            wc, sc = segmented
+            return mcmc.run_segmented(k, warmup_chunk=wc, sample_chunk=sc)
+        res_fn, carry0 = mcmc.warmup_and_sample(k, with_states=True)
+        out = jax.jit(res_fn)(carry0)
+        return mcmc._package(*out)
+
+    once(key)   # compile all segment programs (untimed)
+
+    stats = []
+
+    def rep(i):
+        k = jax.random.fold_in(key, i + 1)
+        t0 = time.perf_counter()
+        res = once(k)
+        qs = res.unconstrained            # (chains, samples, dim)
+        _force(qs)
+        dt = time.perf_counter() - t0
+        ess = np.asarray(diag.ess(qs))
+        rhat = np.asarray([diag.split_rhat(qs[:, :, d])
+                           for d in range(qs.shape[-1])])
+        nsteps = float(np.asarray(res.extra["num_steps"]).mean())
+        stats.append((float(ess.min()), float(rhat.max()), dt, nsteps,
+                      int(np.asarray(res.extra["diverging"]).sum())))
+        return dt
+
+    med, spread, times = _median_protocol(rep, reps=reps)
+    i_med = int(np.argmin([abs(t - med) for t in times]))
+    min_ess, max_rhat, dt, mean_steps, div = stats[i_med]
+    rate = min_ess / dt / jax.device_count()
+    rec = _record(name, "ess_per_s_per_chip", rate, "ess/s/chip",
+                  min_ess=min_ess, max_rhat=round(max_rhat, 4),
+                  converged=bool(max_rhat < rhat_gate), wall_s=round(dt, 2),
+                  reps=reps, spread=round(spread, 4),
+                  chains=mcmc.num_chains, samples=mcmc.num_samples,
+                  warmup=mcmc.num_warmup, divergences=div,
+                  mean_tree_steps=round(mean_steps, 1))
+    if cost_per_leapfrog is not None:
+        total_leapfrogs = mean_steps * (mcmc.num_warmup + mcmc.num_samples)
+        f, b = cost_per_leapfrog
+        roofline.annotate(rec, f, b,
+                          steps_per_s=total_leapfrogs / dt,
+                          platform=jax.default_backend())
+        print(json.dumps({k: rec[k] for k in
+                          ("model", "achieved_tflops", "mfu", "hbm_util",
+                           "bound")}), flush=True)
+    return rec
 
 
 def run_linreg():
@@ -117,7 +213,8 @@ def run_linreg():
     svi = SVI(linreg.model, MeanFieldGuide, optax.adam(0.05),
               model_args=(x, y, cfg.noise))
     return [bench_svi("linreg", svi, jax.random.PRNGKey(0), 500,
-                      model_args=(x, y, cfg.noise))]
+                      model_args=(x, y, cfg.noise),
+                      cost=roofline.linreg_svi(cfg.n, cfg.dim))]
 
 
 def run_hier_logistic():
@@ -133,16 +230,29 @@ def run_hier_logistic():
     svi = SVI(model, MeanFieldGuide, optax.adam(0.03),
               model_args=(x, y, group))
     recs = [bench_svi("hier_logistic", svi, jax.random.PRNGKey(0), 500,
-                      model_args=(x, y, group))]
+                      model_args=(x, y, group),
+                      cost=roofline.hier_logistic_svi(
+                          cfg.batch_size, cfg.num_features, cfg.num_groups))]
 
-    full = hl.make_model(cfg.num_groups, cfg.num_features, None)
-    # 200/200 x 128 chains: the 400-step variant reproducibly faults the
-    # remote TPU worker (kernel fault in the long while_loop program)
-    mcmc = MCMC(model=full, num_warmup=200, num_samples=200,
-                num_chains=128, shared_adapt=True,
+    # Full-batch NUTS, CENTERED parameterization (data-dominated regime —
+    # the round-1 non-centered form mixed at min-ESS 64/25,600; see
+    # hl.make_model docstring for the measured comparison).  Long warmup is
+    # restored via run_segmented: bounded programs avoid the remote-worker
+    # fault that forced round 1 down to 200 warmup steps.
+    full = hl.make_model(cfg.num_groups, cfg.num_features, None,
+                         centered=True)
+    chains = 128
+    warm, samp = _steps(500), _steps(300)
+    mcmc = MCMC(model=full, num_warmup=warm, num_samples=samp,
+                num_chains=chains, shared_adapt=True,
                 model_args=(x, y, group), target_accept=0.85)
-    recs.append(bench_nuts_ess("hier_logistic_nuts", mcmc,
-                               jax.random.PRNGKey(1)))
+    n_obs = cfg.num_groups * cfg.obs_per_group
+    recs.append(bench_nuts_ess(
+        "hier_logistic_nuts", mcmc, jax.random.PRNGKey(1),
+        segmented=(125, 150),
+        cost_per_leapfrog=roofline.hier_logistic_nuts_leapfrog(
+            n_obs, cfg.num_features, chains),
+    ))
     return recs
 
 
@@ -158,7 +268,10 @@ def run_matrix_fact():
     svi = SVI(model, MeanFieldGuide,
               optax.adam(0.02), model_args=(users, items, ratings))
     return [bench_svi("matrix_fact", svi, jax.random.PRNGKey(0), 200,
-                      model_args=(users, items, ratings))]
+                      model_args=(users, items, ratings),
+                      cost=roofline.matrix_fact_svi(
+                          cfg.batch_size, cfg.num_factors, cfg.num_users,
+                          cfg.num_items))]
 
 
 def run_gmm():
@@ -183,14 +296,33 @@ def run_gmm():
     for use_pallas in ([False, True] if jax.default_backend() == "tpu"
                        else [False]):
         smc = make(use_pallas)
-        res, dt = _timed(lambda: smc.run(jax.random.PRNGKey(0)), reps=1)
-        stages = int(res.num_stages)
-        recs.append(_record(
+        smc.run(jax.random.PRNGKey(0))   # compile/warm (untimed)
+        info = {}
+
+        def rep(i):
+            k = jax.random.PRNGKey(100 + i)
+            t0 = time.perf_counter()
+            res = smc.run(k)
+            _force(res.log_evidence)
+            dt = time.perf_counter() - t0
+            info["stages"] = int(res.num_stages)
+            return dt
+
+        med, spread, _ = _median_protocol(rep)
+        stages = info["stages"]
+        rec = _record(
             "gmm_smc" + ("_pallas" if use_pallas else ""),
             "particle_stages_per_s_per_chip",
-            cfg.num_particles * stages / dt / jax.device_count(),
-            "particle-stages/s/chip", stages=stages, wall_s=dt,
-        ))
+            cfg.num_particles * stages / med / jax.device_count(),
+            "particle-stages/s/chip", stages=stages, wall_s=round(med, 2),
+            reps=REPS, spread=round(spread, 4),
+        )
+        f, b = roofline.gmm_smc_stage(
+            cfg.num_particles, cfg.num_data, cfg.num_components, 2,
+            cfg.mutation_steps, cfg.leapfrog_steps)
+        roofline.annotate(rec, f, b, steps_per_s=stages / med,
+                          platform=jax.default_backend())
+        recs.append(rec)
     return recs
 
 
@@ -206,33 +338,53 @@ def run_dlgm():
     model, guide, dec, enc = dlgm.make_model_and_guide(cfg, x)
     svi = SVI(model, guide, optax.adam(1e-3), model_args=(x,))
     recs = [bench_svi("dlgm", svi, jax.random.PRNGKey(0), 500,
-                      model_args=(x,))]
+                      model_args=(x,),
+                      cost=roofline.dlgm_svi(cfg.batch_size, cfg.data_dim,
+                                             cfg.latent_dim, cfg.hidden),
+                      dtype=cfg.compute_dtype)]
 
     # the 1024-sharded-chain NUTS variant (configs[4]) with pooled
     # cross-chain adaptation
     out = dlgm.run_svi(dlgm.Config(num_data=2048, data_dim=32,
                                    latent_dim=8, hidden=64, batch_size=256,
-                                   steps=200))
+                                   steps=_steps(200)))
     n_chains = 1024
     from bayesic_tpu.models.dlgm import local_posterior_mcmc
-
-    cfg2 = dlgm.Config(num_data=2048, data_dim=32, latent_dim=8, hidden=64,
-                       num_chains=n_chains, num_warmup=200, num_samples=200)
-
-    def runner():
-        m, res = local_posterior_mcmc(
-            cfg2, out["decoder"], out["decoder_params"], out["sigma_x"],
-            out["x"][:4], jax.random.PRNGKey(2),
-        )
-        return res.unconstrained
-
-    qs, dt = _timed(runner, reps=1)
     from bayesic_tpu.utils import diagnostics as diag
 
-    ess = float(jnp.min(diag.ess(qs.reshape(qs.shape[0], qs.shape[1], -1))))
+    cfg2 = dlgm.Config(num_data=2048, data_dim=32, latent_dim=8, hidden=64,
+                       num_chains=n_chains, num_warmup=_steps(200),
+                       num_samples=_steps(200))
+
+    def once(k):
+        m, res = local_posterior_mcmc(
+            cfg2, out["decoder"], out["decoder_params"], out["sigma_x"],
+            out["x"][:4], k,
+        )
+        return res
+
+    once(jax.random.PRNGKey(2))   # compile/warm
+
+    stats = []
+
+    def rep(i):
+        k = jax.random.PRNGKey(200 + i)
+        t0 = time.perf_counter()
+        res = once(k)
+        qs = res.unconstrained
+        _force(qs)
+        dt = time.perf_counter() - t0
+        ess = diag.ess(qs.reshape(qs.shape[0], qs.shape[1], -1))
+        stats.append((float(jnp.min(ess)), dt))
+        return dt
+
+    med, spread, times = _median_protocol(rep)
+    i_med = int(np.argmin([abs(t - med) for t in times]))
+    ess, dt = stats[i_med]
     recs.append(_record("dlgm_nuts", "ess_per_s_per_chip",
                         ess / dt / jax.device_count(), "ess/s/chip",
-                        chains=n_chains, min_ess=ess, wall_s=dt))
+                        chains=n_chains, min_ess=ess, wall_s=round(dt, 2),
+                        reps=REPS, spread=round(spread, 4)))
     return recs
 
 
@@ -272,8 +424,19 @@ def run_scaling():
 
             return jax.lax.scan(body, s, None, length=100)
 
-        _, dt = _timed(jax.jit(block), state)
-        return 100 / dt
+        blk = jax.jit(block)
+        state2, losses = blk(state)
+        _force(losses)
+        holder = {"s": state2}
+
+        def rep(_):
+            t0 = time.perf_counter()
+            holder["s"], losses = blk(holder["s"])
+            _force(losses)
+            return time.perf_counter() - t0
+
+        med, _, _ = _median_protocol(rep)
+        return 100 / med
 
     r1 = rate_with(jax.devices()[:1])
     rn = rate_with(jax.devices())
@@ -314,10 +477,12 @@ def _run_all_subprocess(out_path):
             with tempfile.NamedTemporaryFile(suffix=".json",
                                              delete=False) as tf:
                 tmp = tf.name
+            cmd = [sys.executable, "-m", "benchmarks.harness", "--model", n,
+                   "--out", tmp]
+            if SMOKE:
+                cmd.append("--smoke")
             proc = subprocess.run(
-                [sys.executable, "-m", "benchmarks.harness", "--model", n,
-                 "--out", tmp],
-                capture_output=True, timeout=1800, text=True,
+                cmd, capture_output=True, timeout=2400, text=True,
             )
             for line in proc.stdout.splitlines():
                 if line.startswith("{"):
@@ -340,10 +505,14 @@ def _run_all_subprocess(out_path):
 
 
 def main():
+    global SMOKE
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="all",
                     choices=list(ALL) + ["all"])
     ap.add_argument("--out", default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="10x fewer steps — protocol validation, not a "
+                         "measurement")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace (TensorBoard/"
                          "Perfetto) of the run into LOGDIR (SURVEY.md §5)")
@@ -352,6 +521,7 @@ def main():
                          "2 local processes, one killed at step K, restart "
                          "from checkpoint, assert bit-identical recovery")
     args = ap.parse_args()
+    SMOKE = args.smoke
     if args.fault_inject:
         kv = dict(item.split("=") for item in args.fault_inject.split(","))
         from benchmarks.fault_inject import run_fault_inject

@@ -1,0 +1,132 @@
+"""Roofline/MFU accounting for the benchmark workloads (VERDICT r1 item 8;
+BASELINE.md "speed-of-light" target).
+
+Each workload gets an analytic cost model: FLOPs per step (dominant matmul /
+elementwise terms, forward + backward counted as 3x forward for matmuls) and
+HBM bytes per step (parameter + activation + data traffic, assuming f32
+residency and no cache reuse between steps — an upper bound on required
+bandwidth).  From the measured rate the harness derives
+
+  achieved_tflops   = flops_per_step * steps_per_s / 1e12
+  mfu               = achieved_tflops / peak_tflops(dtype)
+  hbm_util          = bytes_per_step * steps_per_s / peak_hbm_bytes
+  bound             = "compute" | "bandwidth" | "overhead"
+
+Peak numbers are for the benchmarked chip (TPU v5 lite / v5e: 197 TFLOP/s
+bf16 matmul, ~half that for f32 MXU input, 819 GB/s HBM).  These are
+published-spec constants, and the cost models are estimates — the point is
+order-of-magnitude honesty about how far each workload sits from the
+roofline, and WHICH wall it faces, not certified utilization numbers.
+A workload whose mfu and hbm_util are both <10% is overhead/latency-bound
+(dispatch, small kernels, tunnel latency) — the fix is fusion/batching, not
+faster kernels.
+"""
+
+from __future__ import annotations
+
+# TPU v5e published specs
+PEAK_BF16_TFLOPS = 197.0
+PEAK_F32_TFLOPS = 98.5          # MXU with f32 inputs ~ half bf16 throughput
+PEAK_HBM_GBS = 819.0
+
+# CPU fallbacks (virtual-mesh rehearsal runs) — order-of-magnitude only
+CPU_PEAK_TFLOPS = 1.0
+CPU_PEAK_HBM_GBS = 50.0
+
+
+def _mm(m, n, k):
+    """FLOPs for an (m,k)@(k,n) matmul, forward only."""
+    return 2.0 * m * n * k
+
+
+def dlgm_svi(batch, data_dim, latent_dim, hidden, num_particles=1):
+    """Encoder fwd + reparam + decoder fwd + full backward (~3x fwd for the
+    matmuls), one optimizer update over the MLP params."""
+    enc = _mm(batch, hidden, data_dim) + 2 * _mm(batch, latent_dim, hidden)
+    dec = num_particles * (
+        _mm(batch, hidden, latent_dim) + _mm(batch, data_dim, hidden)
+    )
+    flops = 3.0 * (enc + dec)
+    n_params = (data_dim * hidden + 2 * hidden * latent_dim
+                + latent_dim * hidden + hidden * data_dim)
+    # params read+grad+adam (~4x), batch rows read, activations ~2 layers
+    bytes_ = 4 * (4 * n_params + batch * data_dim
+                  + 2 * batch * (hidden + latent_dim))
+    return flops, bytes_
+
+
+def linreg_svi(n, dim, num_particles=1):
+    flops = 3.0 * num_particles * _mm(n, 1, dim)
+    bytes_ = 4 * (n * dim + n + 8 * dim)
+    return flops, bytes_
+
+
+def hier_logistic_svi(batch, num_features, num_groups):
+    flops = 3.0 * (_mm(batch, 1, num_features) + 10.0 * batch)
+    bytes_ = 4 * (batch * num_features + 3 * batch
+                  + 8 * (num_groups + num_features))
+    return flops, bytes_
+
+
+def hier_logistic_nuts_leapfrog(n_obs, num_features, num_chains):
+    """One leapfrog across all chains: logistic grad = X@beta fwd + X^T@r
+    bwd over the full data."""
+    flops = num_chains * 2.0 * _mm(n_obs, 1, num_features)
+    bytes_ = 4 * (n_obs * num_features + num_chains * 4 * n_obs * 0
+                  + num_chains * 8 * (num_features + 2))
+    bytes_ += 4 * n_obs * num_features   # X re-read for the transpose pass
+    return flops, bytes_
+
+
+def matrix_fact_svi(batch, num_factors, num_users, num_items):
+    """MXU one-hot gather formulation: two (B x U/I) @ (U/I x K) matmuls +
+    backward."""
+    flops = 3.0 * (_mm(batch, num_factors, num_users)
+                   + _mm(batch, num_factors, num_items))
+    n_params = num_factors * (num_users + num_items) + num_users + num_items
+    bytes_ = 4 * (4 * 2 * n_params + batch * 3)
+    return flops, bytes_
+
+
+def gmm_smc_stage(num_particles, num_data, num_components, dim,
+                  mutation_steps, leapfrog_steps):
+    """One tempering stage: loglik over (P, N, K) responsibilities, repeated
+    per leapfrog grad eval (fwd+bwd ~3x)."""
+    per_loglik = 3.0 * num_particles * num_data * num_components * (dim + 4)
+    evals = 1 + mutation_steps * (leapfrog_steps + 2)
+    flops = per_loglik * evals
+    bytes_ = 4 * (num_data * dim + num_particles * (dim * num_components + 8)
+                  ) * evals
+    return flops, bytes_
+
+
+def annotate(rec, flops_per_step, bytes_per_step, steps_per_s,
+             dtype="float32", platform="tpu"):
+    """Attach roofline fields to a harness record (mutates + returns it)."""
+    if platform == "tpu":
+        peak_tf = PEAK_BF16_TFLOPS if dtype == "bfloat16" else PEAK_F32_TFLOPS
+        peak_bw = PEAK_HBM_GBS
+    else:
+        peak_tf, peak_bw = CPU_PEAK_TFLOPS, CPU_PEAK_HBM_GBS
+    achieved_tf = flops_per_step * steps_per_s / 1e12
+    hbm_gbs = bytes_per_step * steps_per_s / 1e9
+    mfu = achieved_tf / peak_tf
+    hbm_util = hbm_gbs / peak_bw
+    if mfu < 0.10 and hbm_util < 0.10:
+        bound = "overhead"
+    elif hbm_util > mfu:
+        bound = "bandwidth"
+    else:
+        bound = "compute"
+    rec.update(
+        flops_per_step=float(flops_per_step),
+        hbm_bytes_per_step=float(bytes_per_step),
+        achieved_tflops=round(achieved_tf, 4),
+        hbm_gb_per_s=round(hbm_gbs, 2),
+        mfu=round(mfu, 5),
+        hbm_util=round(hbm_util, 5),
+        bound=bound,
+        peak_tflops_assumed=peak_tf,
+        peak_hbm_gbs_assumed=peak_bw,
+    )
+    return rec
