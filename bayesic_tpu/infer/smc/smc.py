@@ -83,7 +83,8 @@ class SMC:
                  resample_threshold=0.5, mutation_steps=5,
                  hmc_leapfrog_steps=5, max_stages=100, init_step_size=0.2,
                  target_accept=0.65, model_args=(), model_kwargs=None,
-                 particle_sharding=None, batched_loglik=None):
+                 particle_sharding=None, batched_loglik=None,
+                 batched_loglik_grad=None, precondition=False):
         self.model = model
         self.n = int(num_particles)
         self.ess_target = float(ess_target)
@@ -94,6 +95,11 @@ class SMC:
         self.init_step_size = float(init_step_size)
         self.target_accept = float(target_accept)
         self.particle_sharding = particle_sharding
+        # Diagonal mass preconditioning from the weighted particle variance
+        # (VERDICT r1: accept-nudged identity-mass mutation is weak on
+        # ill-scaled targets).  Off by default: on multimodal targets the
+        # cross-mode variance inflates the per-dimension scale.
+        self.precondition = bool(precondition)
         self._model_args = model_args
         self._model_kwargs = model_kwargs or {}
 
@@ -112,6 +118,8 @@ class SMC:
             return ll
 
         self._logprior = jax.vmap(logprior_flat)
+        # fused value+grad of the prior for the kernelized mutation path
+        self._logprior_vg = jax.vmap(jax.value_and_grad(logprior_flat))
         if batched_loglik is not None:
             # Hand-fused batched likelihood (e.g. the Pallas gmm_loglik
             # kernel, SURVEY.md C14b): qs (P, dim) -> (P,), bypassing
@@ -119,6 +127,10 @@ class SMC:
             self._loglik = batched_loglik
         else:
             self._loglik = jax.vmap(loglik_flat)
+        # Hand-fused value+gradient (SURVEY.md C14a, e.g. gmm_loglik_grad):
+        # qs (P, dim) -> ((P,), (P, dim)) — one kernel launch per leapfrog
+        # gradient instead of a traced fwd+bwd pair.
+        self._loglik_vg = batched_loglik_grad
 
     # ------------------------------------------------------------------
     def _init_particles(self, key):
@@ -169,43 +181,51 @@ class SMC:
         delta = jnp.where(full_ok, hi0, lo)
         return jnp.minimum(beta + delta, 1.0)
 
-    def _mutate(self, key, q, beta, step_size):
+    def _mutate(self, key, q, beta, step_size, m_inv=None):
         """K HMC transitions targeting p_beta, computed on the whole
         particle batch at once (so hand-fused batched densities — Pallas
-        kernels — and the fused leapfrog phase kernels apply).  Returns
+        kernels — apply).  ``m_inv`` is the diagonal inverse mass (per-dim
+        scale², e.g. the weighted particle variance).  Returns
         (q, mean accept)."""
-        from ...ops.leapfrog import kick, kick_drift
-
-        def potential_batch(qs, b):
-            return -(self._logprior(qs) + b * self._loglik(qs))   # (P,)
+        if m_inv is None:
+            m_inv = jnp.ones((self.dim,), q.dtype)
+        sqrt_m = 1.0 / jnp.sqrt(m_inv)
 
         def pe_and_grad(qs, b):
-            pe, vjp = jax.vjp(lambda x: potential_batch(x, b), qs)
+            if self._loglik_vg is not None:
+                # C14a fused path: one kernel launch yields the likelihood
+                # value AND gradient; the (cheap, elementwise) prior part
+                # comes from vmapped value_and_grad and fuses in XLA.
+                lp, glp = self._logprior_vg(qs)
+                ll, gll = self._loglik_vg(qs)
+                return -(lp + b * ll), -(glp + b * gll)
+            pe, vjp = jax.vjp(
+                lambda x: -(self._logprior(x) + b * self._loglik(x)), qs
+            )
             (g,) = vjp(jnp.ones_like(pe))
             return pe, g
-
-        ones_dim = jnp.ones((self.dim,), q.dtype)
 
         def one_hmc(carry, t):
             qs, acc_sum = carry
             key_t = jax.random.fold_in(key, t)
             k_mom, k_acc = jax.random.split(key_t)
-            p0 = jax.random.normal(k_mom, qs.shape, qs.dtype)
+            p0 = jax.random.normal(k_mom, qs.shape, qs.dtype) * sqrt_m
             pe0, g0 = pe_and_grad(qs, beta)
-            h0 = pe0 + 0.5 * jnp.sum(p0 * p0, -1)
+            h0 = pe0 + 0.5 * jnp.sum(p0 * p0 * m_inv, -1)
 
             def leap(_, s):
                 qq, pp, gg = s
-                qq, pp = kick_drift(qq, pp, gg, step_size, ones_dim)
+                pp = pp - 0.5 * step_size * gg          # half kick
+                qq = qq + step_size * m_inv * pp        # drift
                 _, gg = pe_and_grad(qq, beta)
-                pp = kick(pp, gg, step_size)
+                pp = pp - 0.5 * step_size * gg          # half kick
                 return qq, pp, gg
 
             qe, pe_, _ = lax.fori_loop(
                 0, self.leapfrog_steps, leap, (qs, p0, g0)
             )
             pe1, _ = pe_and_grad(qe, beta)
-            h1 = pe1 + 0.5 * jnp.sum(pe_ * pe_, -1)
+            h1 = pe1 + 0.5 * jnp.sum(pe_ * pe_ * m_inv, -1)
             delta = jnp.where(jnp.isnan(h1 - h0), jnp.inf, h1 - h0)
             a = jnp.minimum(1.0, jnp.exp(-delta))                 # (P,)
             take = jax.random.uniform(k_acc, a.shape) < a
@@ -255,7 +275,16 @@ class SMC:
                 log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w)
 
                 # HMC mutation at the new temperature
-                q, accept = self._mutate(k_mut, q, new_beta, c.step_size)
+                if self.precondition:
+                    w_n = jnp.exp(normalize_log_weights(log_w))   # (N,)
+                    mean = jnp.sum(w_n[:, None] * q, axis=0)
+                    var = jnp.sum(w_n[:, None] * jnp.square(q - mean),
+                                  axis=0)
+                    m_inv = jnp.clip(var, 1e-8, 1e8)
+                else:
+                    m_inv = None
+                q, accept = self._mutate(k_mut, q, new_beta, c.step_size,
+                                         m_inv)
                 step_size = c.step_size * jnp.exp(
                     0.5 * (accept - self.target_accept)
                 )

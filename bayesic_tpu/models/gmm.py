@@ -87,6 +87,33 @@ def make_batched_loglik(info, unravel, x):
     return loglik
 
 
+def make_batched_loglik_grad(info, unravel, ravel, x):
+    """Fused value+gradient of the likelihood wrt the flat UNCONSTRAINED
+    particle vector — the SMC mutation hot path (SURVEY.md C14a): the
+    kernel returns (ll, d/dlogw, d/dmus, d/dsig) in one launch and the
+    (elementwise, XLA-fused) transform chain pulls the gradient back to
+    unconstrained space via jax.vjp — no hand-derived stick-breaking."""
+    from ..ops.gmm_logprob import gmm_loglik_grad
+
+    t_w = info.transforms["weights"]
+    t_s = info.transforms["sigma"]
+
+    def loglik_vg(qs):
+        u = unravel(qs)
+
+        def to_params(uw, us):
+            w = t_w.forward(uw)
+            sig = t_s.forward(us)
+            return jnp.log(w), sig
+
+        (logw, sig), vjp_t = jax.vjp(to_params, u["weights"], u["sigma"])
+        ll, dlogw, dmus, dsig = gmm_loglik_grad(x, logw, u["mus"], sig)
+        duw, dus = vjp_t((dlogw, dsig))
+        return ll, ravel({"weights": duw, "mus": dmus, "sigma": dus})
+
+    return loglik_vg
+
+
 def _true_loglik(x, truth):
     from scipy.stats import multivariate_normal
     xn = np.asarray(x)
@@ -139,7 +166,9 @@ def run(cfg: Config, key=None, particle_sharding=None, use_pallas=None):
                   hmc_leapfrog_steps=cfg.leapfrog_steps,
                   particle_sharding=particle_sharding,
                   batched_loglik=make_batched_loglik(
-                      smc.info, smc._unravel, x))
+                      smc.info, smc._unravel, x),
+                  batched_loglik_grad=make_batched_loglik_grad(
+                      smc.info, smc._unravel, smc._ravel, x))
 
     if cfg.bench:
         res, dt = timed_steps(lambda: smc.run(key), warmup_runs=1,

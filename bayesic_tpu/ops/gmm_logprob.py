@@ -315,3 +315,163 @@ def _vjp_bwd(res, ct):
 
 
 gmm_loglik.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# C14a: fused value+gradient kernel for the SMC HMC mutation
+# ---------------------------------------------------------------------------
+#
+# One kernel produces BOTH the log-likelihood and its gradients wrt
+# (log_w, mus, sigmas) — the quantity every leapfrog step needs — so one
+# launch replaces the fwd+bwd pair, and the grid is 1-D over large particle
+# blocks (PB_VG=128) with the WHOLE dataset resident in VMEM (lifted
+# features, (D+2, N) ~ tens of KB for the GMM config).  The round-1 kernels
+# ran a (P/8, N/512) grid = thousands of sequential tiny instances per
+# launch, which per-instance overhead made ~100x slower than the math
+# itself (VERDICT r1 item 3).
+#
+# Lifted-feature formulation: with A = [x^T; |x|^2; 1] of shape (D+2, N)
+# and per-component rows b_k = [mu_k/s^2, -1/(2s^2), logw_k
+# - |mu_k|^2/(2s^2) - d log s - (d/2)log 2pi], the per-component density
+# rows are exactly ll_k = b_k @ A — all K components ride the MXU in K
+# skinny matmuls, no (P,K,N) tensor ever hits HBM.
+
+_PB_VG = 128      # particles per block (1-D grid)
+_N_ALIGN = 512    # lane alignment for the resident dataset
+
+
+def _vg_kernel(a_ref, logw_ref, musf_ref, sig_ref,
+               ll_ref, dlogw_ref, dmusf_ref, dsig_ref, *, k, d, n):
+    a = a_ref[...]                                    # (D+2, NPAD)
+    xb = a[0:d, :]                                    # (D, NPAD)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, a.shape[1]), 1)
+    mask = j < n
+
+    lls, mus_k, sigs_k, lws_k, invs2_k = [], [], [], [], []
+    for kk in range(k):
+        mu_k = musf_ref[:, kk * d:(kk + 1) * d]       # (PB, D)
+        sig_k = sig_ref[:, kk:kk + 1]                 # (PB, 1)
+        lw_k = logw_ref[:, kk:kk + 1]
+        inv_s2 = 1.0 / (sig_k * sig_k)
+        mu2 = jnp.sum(mu_k * mu_k, axis=1, keepdims=True)
+        c_k = (lw_k - 0.5 * mu2 * inv_s2 - d * jnp.log(sig_k)
+               - 0.5 * d * _LOG_2PI)
+        b_k = jnp.concatenate(
+            [mu_k * inv_s2, -0.5 * inv_s2, c_k], axis=1
+        )                                             # (PB, D+2)
+        ll_k = jax.lax.dot_general(
+            b_k, a, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                             # (PB, NPAD)
+        lls.append(ll_k)
+        mus_k.append(mu_k)
+        sigs_k.append(sig_k)
+        lws_k.append(lw_k)
+        invs2_k.append(inv_s2)
+
+    lse = _streaming_lse(lls)                         # (PB, NPAD)
+    ll_ref[...] = jnp.sum(jnp.where(mask, lse, 0.0), axis=1, keepdims=True)
+
+    dlogw_cols, dmus_cols, dsig_cols = [], [], []
+    cc = 0.5 * d * _LOG_2PI
+    for kk in range(k):
+        resp = jnp.where(mask, jnp.exp(lls[kk] - lse), 0.0)   # (PB, NPAD)
+        r_sum = jnp.sum(resp, axis=1, keepdims=True)
+        rll_sum = jnp.sum(resp * lls[kk], axis=1, keepdims=True)
+        rx = jax.lax.dot_general(
+            resp, xb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                             # (PB, D)
+        sig_k, lw_k, inv_s2 = sigs_k[kk], lws_k[kk], invs2_k[kk]
+        # sum_n resp*q from sum_n resp*ll:  q = 2 s^2 (lw - d log s - cc - ll)
+        rq_sum = 2.0 * sig_k * sig_k * (
+            (lw_k - d * jnp.log(sig_k) - cc) * r_sum - rll_sum
+        )
+        dlogw_cols.append(r_sum)
+        dmus_cols.append((rx - mus_k[kk] * r_sum) * inv_s2)
+        dsig_cols.append(rq_sum * inv_s2 / sig_k - d * r_sum / sig_k)
+
+    dlogw_ref[...] = jnp.concatenate(dlogw_cols, axis=1)
+    dmusf_ref[...] = jnp.concatenate(dmus_cols, axis=1)
+    dsig_ref[...] = jnp.concatenate(dsig_cols, axis=1)
+
+
+def _lifted_features(x):
+    n, d = x.shape
+    npad = -(-n // _N_ALIGN) * _N_ALIGN
+    a = jnp.concatenate(
+        [x.T, jnp.sum(x * x, axis=1)[None, :], jnp.ones((1, n), x.dtype)],
+        axis=0,
+    )
+    return jnp.pad(a, ((0, 0), (0, npad - n))), n, d
+
+
+def _pallas_vg(x, log_w, mus, sigmas, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p0, kk = log_w.shape
+    musf = mus.reshape(p0, -1)
+    pad = (-p0) % _PB_VG
+    if pad:
+        log_w = jnp.pad(log_w, ((0, pad), (0, 0)))
+        musf = jnp.pad(musf, ((0, pad), (0, 0)))
+        sigmas = jnp.pad(sigmas, ((0, pad), (0, 0)), constant_values=1.0)
+    p = p0 + pad
+    a, n, d = _lifted_features(x)
+
+    kernel = functools.partial(_vg_kernel, k=kk, d=d, n=n)
+    ll, dlogw, dmusf, dsig = pl.pallas_call(
+        kernel,
+        grid=(p // _PB_VG,),
+        in_specs=[
+            pl.BlockSpec((d + 2, a.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB_VG, kk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB_VG, kk * d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB_VG, kk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_PB_VG, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB_VG, kk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB_VG, kk * d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PB_VG, kk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((p, 1), x.dtype),
+            jax.ShapeDtypeStruct((p, kk), x.dtype),
+            jax.ShapeDtypeStruct((p, kk * d), x.dtype),
+            jax.ShapeDtypeStruct((p, kk), x.dtype),
+        ),
+        interpret=interpret,
+    )(a, log_w, musf, sigmas)
+    return (ll[:p0, 0], dlogw[:p0], dmusf[:p0].reshape(p0, kk, d),
+            dsig[:p0])
+
+
+def gmm_loglik_grad(x, log_w, mus, sigmas):
+    """Fused value + gradient: x (N,D), log_w (P,K), mus (P,K,D), sigmas
+    (P,K) -> (ll (P,), dlogw (P,K), dmus (P,K,D), dsig (P,K)).
+
+    One Pallas launch on TPU (SURVEY.md C14a — the leapfrog's grad-eval
+    fused in one kernel); jnp value_and_grad of the reference elsewhere
+    (the §4.7 parity oracle, tested in tests/test_kernels.py)."""
+    use, interp = _use_pallas()
+    if use:
+        return _pallas_vg(x, log_w, mus, sigmas, interpret=interp)
+
+    def f(lw, mu, sg):
+        return jnp.sum(gmm_loglik_reference(x, lw, mu, sg))
+
+    ll = gmm_loglik_reference(x, log_w, mus, sigmas)
+    dlogw, dmus, dsig = jax.grad(f, argnums=(0, 1, 2))(log_w, mus, sigmas)
+    return ll, dlogw, dmus, dsig

@@ -283,14 +283,16 @@ def run_gmm():
     from bayesic_tpu.infer.smc import SMC
 
     def make(use_pallas):
-        bl = None
+        bl = blg = None
         if use_pallas:
             probe = SMC(model, num_particles=cfg.num_particles)
             bl = gmm.make_batched_loglik(probe.info, probe._unravel, x)
+            blg = gmm.make_batched_loglik_grad(
+                probe.info, probe._unravel, probe._ravel, x)
         return SMC(model, num_particles=cfg.num_particles,
                    mutation_steps=cfg.mutation_steps,
                    hmc_leapfrog_steps=cfg.leapfrog_steps,
-                   batched_loglik=bl)
+                   batched_loglik=bl, batched_loglik_grad=blg)
 
     recs = []
     for use_pallas in ([False, True] if jax.default_backend() == "tpu"

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from bayesic_tpu.ops import gmm_logprob, leapfrog
+from bayesic_tpu.ops import gmm_logprob
 
 
 @pytest.fixture
@@ -72,40 +72,76 @@ def test_gmm_loglik_under_jit_and_value_grad(pallas_interpret):
     assert jnp.isfinite(g).all()
 
 
-def test_leapfrog_kernels_parity(pallas_interpret):
-    c, d = 256, 128  # block-aligned so the Pallas path triggers
-    ks = jax.random.split(jax.random.PRNGKey(0), 3)
-    q = jax.random.normal(ks[0], (c, d))
-    p = jax.random.normal(ks[1], (c, d))
-    g = jax.random.normal(ks[2], (c, d))
-    eps = jnp.full((c,), 0.05)
-    minv = jnp.ones(d) * 1.3
+def test_gmm_loglik_grad_fused_parity(pallas_interpret):
+    """C14a fused value+gradient kernel vs jnp value_and_grad of the
+    reference (lifted-feature formulation, one launch)."""
+    x, lw, mus, sig = _gmm_inputs(n=777, d=2, p=300, k=3)
 
-    q_ref, p_ref = leapfrog.kick_drift_reference(
-        q, p, g, eps[:, None], jnp.broadcast_to(minv, (c, d))
-    )
-    q_got, p_got = leapfrog.kick_drift(q, p, g, eps, minv)
-    np.testing.assert_allclose(np.asarray(q_got), np.asarray(q_ref),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(p_got), np.asarray(p_ref),
-                               rtol=1e-5, atol=1e-6)
+    ll, dlw, dmus, dsig = gmm_logprob.gmm_loglik_grad(x, lw, mus, sig)
 
-    p2_ref = leapfrog.kick_reference(p_ref, g, eps[:, None])
-    p2_got = leapfrog.kick(p_got, g, eps)
-    np.testing.assert_allclose(np.asarray(p2_got), np.asarray(p2_ref),
-                               rtol=1e-5, atol=1e-6)
+    ll_ref = gmm_logprob.gmm_loglik_reference(x, lw, mus, sig)
+    g_ref = jax.grad(
+        lambda a, b, c: gmm_logprob.gmm_loglik_reference(x, a, b, c).sum(),
+        argnums=(0, 1, 2),
+    )(lw, mus, sig)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
+                               rtol=3e-5, atol=3e-5)
+    for got, ref in zip((dlw, dmus, dsig), g_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-4, atol=3e-4)
 
 
-def test_leapfrog_fallback_on_unaligned():
-    os.environ["BAYESIC_PALLAS"] = "interpret"
-    try:
-        q = jnp.ones((3, 5))
-        p = jnp.ones((3, 5))
-        g = jnp.ones((3, 5))
-        qo, po = leapfrog.kick_drift(q, p, g, 0.1, jnp.ones(5))
-        assert qo.shape == (3, 5)  # silently took the jnp fallback
-    finally:
-        os.environ.pop("BAYESIC_PALLAS", None)
+def test_smc_mutation_fused_path_matches_vjp():
+    """SMC with batched_loglik_grad (C14a path) must track the generic
+    vjp mutation path: same model, same key, near-identical particles."""
+    from bayesic_tpu.infer.smc import SMC
+    from bayesic_tpu.models import gmm
+
+    cfg = gmm.Config(num_data=200, num_particles=256, mutation_steps=2,
+                     leapfrog_steps=3)
+    x, _ = gmm.make_data(cfg)
+    model = gmm.make_model(cfg, x)
+
+    plain = SMC(model, num_particles=cfg.num_particles,
+                mutation_steps=cfg.mutation_steps,
+                hmc_leapfrog_steps=cfg.leapfrog_steps)
+    fused = SMC(model, num_particles=cfg.num_particles,
+                mutation_steps=cfg.mutation_steps,
+                hmc_leapfrog_steps=cfg.leapfrog_steps,
+                batched_loglik=gmm.make_batched_loglik(
+                    plain.info, plain._unravel, x),
+                batched_loglik_grad=gmm.make_batched_loglik_grad(
+                    plain.info, plain._unravel, plain._ravel, x))
+    key = jax.random.PRNGKey(3)
+    # deterministic check: the fused potential+gradient equals the generic
+    # vjp one on the same particle batch (trajectory-level equality is not
+    # meaningful — a single f32 accept-flip diverges the chaotic paths)
+    q0 = plain._init_particles(key)
+    beta = jnp.asarray(0.6)
+
+    def vjp_pe_and_grad(qs):
+        pe, vjp = jax.vjp(
+            lambda z: -(plain._logprior(z) + beta * plain._loglik(z)), qs
+        )
+        return pe, vjp(jnp.ones_like(pe))[0]
+
+    def fused_pe_and_grad(qs):
+        lp, glp = fused._logprior_vg(qs)
+        ll, gll = fused._loglik_vg(qs)
+        return -(lp + beta * ll), -(glp + beta * gll)
+
+    pe1, g1 = jax.jit(vjp_pe_and_grad)(q0)
+    pe2, g2 = jax.jit(fused_pe_and_grad)(q0)
+    np.testing.assert_allclose(np.asarray(pe2), np.asarray(pe1),
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=2e-4, atol=2e-4)
+
+    # statistical sanity: both full runs land on comparable evidence
+    r1 = plain.run(key)
+    r2 = fused.run(key)
+    assert abs(float(r1.log_evidence) - float(r2.log_evidence)) < 15.0
+
 
 
 def test_smc_with_batched_pallas_loglik(pallas_interpret):

@@ -96,3 +96,28 @@ def test_smc_bimodal_target():
     assert 0.35 < p_right < 0.65  # both modes retained, roughly symmetric
     # modes near +-2
     assert abs(float((w * np.abs(x)).sum()) - 2.0) < 0.2
+
+
+def test_smc_preconditioned_mutation_ill_scaled_target():
+    """precondition=True estimates a per-dimension mass from the weighted
+    particle variance; on a target with a 100:1 scale split the identity
+    mass either stalls (tiny step) or rejects (big step) in the wide
+    dimension — the preconditioned run must recover both scales."""
+    scales = np.array([100.0, 1.0], np.float32)
+
+    def model():
+        # broad prior + ill-scaled likelihood: posterior ~ N(0, diag(96^2,
+        # 1^2)); tempering must walk particles in from the sd-400 prior and
+        # the mutation must mix both scales at one shared step size.
+        z = sample("z", dist.Normal(0.0, 400.0).expand((2,)).to_event(1))
+        from bayesic_tpu.core import factor
+        factor("lik", -0.5 * jnp.sum(jnp.square(z / jnp.asarray(scales))))
+
+    smc = SMC(model, num_particles=2048, mutation_steps=4,
+              hmc_leapfrog_steps=5, precondition=True)
+    res = smc.run(jax.random.PRNGKey(0))
+    w = np.exp(np.asarray(res.log_weights))
+    z = np.asarray(res.particles["z"])
+    est_std = np.sqrt((w[:, None] * z**2).sum(0))
+    np.testing.assert_allclose(est_std, scales, rtol=0.25)
+    assert float(res.accept_rate) > 0.3
