@@ -303,10 +303,35 @@ class MCMC:
         return lambda: run_all(carry0)
 
     def run(self, key, jit=True) -> MCMCResult:
-        run_all, carry0 = self.warmup_and_sample(key, with_states=True)
+        key_init, key_warm, key_samp = jax.random.split(key, 3)
+        carry0 = self._initial_carry(key_init)
+        # cache the compiled program on the instance with the PRNG keys as
+        # traced arguments: repeated run() calls with fresh keys never
+        # re-trace (a re-trace + relay compile-cache hit costs seconds)
         if jit:
-            run_all = jax.jit(run_all)
-        out = run_all(carry0)
+            if not hasattr(self, "_run_fn"):
+                warm_step, sample_step = self._build_steps()
+
+                def run_all(kw, ks, c0):
+                    carry, _ = lax.scan(
+                        lambda c, t: warm_step(kw, c, t), c0,
+                        jnp.arange(self.num_warmup)
+                    )
+                    step_size = jnp.exp(carry.da.log_step_avg)
+                    samp0 = (carry.state, step_size, carry.inv_mass)
+                    _, collected = lax.scan(
+                        lambda c, t: sample_step(ks, c, t), samp0,
+                        jnp.arange(self.num_samples)
+                    )
+                    qs, divs, accs, depths, nsteps = collected
+                    return (qs, divs, accs, depths, nsteps, step_size,
+                            carry.inv_mass)
+
+                self._run_fn = jax.jit(run_all)
+            out = self._run_fn(key_warm, key_samp, carry0)
+        else:
+            run_all, c0 = self.warmup_and_sample(key, with_states=True)
+            out = run_all(c0)
         return self._package(*out)
 
     def run_segmented(self, key, warmup_chunk=100, sample_chunk=100,

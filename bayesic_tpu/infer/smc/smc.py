@@ -238,71 +238,111 @@ class SMC:
         return q_new, acc_sum / self.mutation_steps
 
     # ------------------------------------------------------------------
-    def run(self, key, jit=True) -> SMCResult:
+    def run(self, key, jit=True, stage_chunk=8) -> SMCResult:
+        """Run the tempering loop as CHUNKS of ``stage_chunk`` stages, each
+        a fixed-length ``lax.scan`` (finished stages pass through a no-op
+        ``lax.cond``), with a host fetch of β between chunks.
+
+        Why not one data-dependent ``while_loop``: measured through the
+        remote-TPU relay, the identical 19-stage computation costs 0.70 s
+        as a fixed scan but 9.65 s as a while_loop (~0.5 s per iteration of
+        relay round-trip) — a 13.7× difference.  Chunked scans keep one
+        compiled program reused across chunks, bound the wasted no-op work
+        to < stage_chunk stages, and cost one ~25 ms host fetch per chunk.
+        The β predicate is replicated, so every process takes the same
+        branch (collective-safe in multi-host runs).
+
+        The compiled init/chunk programs are cached on the instance and the
+        PRNG keys ride as traced arguments, so repeated ``run`` calls (and
+        fresh benchmark keys) never re-trace — a second source of multi-
+        second relay latency in round 1 (every run() re-jitted a fresh
+        closure)."""
         key_init, key_loop = jax.random.split(key)
+        init, chunk = self._run_programs(jit, int(stage_chunk))
 
-        def full():
-            q0 = self._init_particles(key_init)
-            carry0 = _SMCCarry(
-                q0, jnp.zeros(self.n), jnp.zeros(()), jnp.zeros(()),
-                jnp.zeros((), jnp.int32),
-                jnp.asarray(self.init_step_size), jnp.ones(()),
-            )
-
-            def cond(c: _SMCCarry):
-                return jnp.logical_and(c.beta < 1.0,
-                                       c.stage < self.max_stages)
-
-            def body(c: _SMCCarry):
-                k_stage = jax.random.fold_in(key_loop, c.stage)
-                k_res, k_mut = jax.random.split(k_stage)
-
-                ll = self._loglik(c.q)
-                new_beta = self._next_beta(c.beta, ll, c.log_w)
-                delta = new_beta - c.beta
-
-                # evidence increment: log sum_i W_i lik_i^delta
-                logw_norm = normalize_log_weights(c.log_w)
-                log_ev_inc = logsumexp(logw_norm + delta * ll)
-                log_w = c.log_w + delta * ll
-
-                # systematic resampling, collective-symmetric
-                ess = effective_sample_size(log_w)
-                do_resample = ess < self.resample_threshold * self.n
-                anc = systematic_ancestors(k_res, log_w)
-                q_res = jnp.take(c.q, anc, axis=0)
-                q = jnp.where(do_resample, q_res, c.q)
-                log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w)
-
-                # HMC mutation at the new temperature
-                if self.precondition:
-                    w_n = jnp.exp(normalize_log_weights(log_w))   # (N,)
-                    mean = jnp.sum(w_n[:, None] * q, axis=0)
-                    var = jnp.sum(w_n[:, None] * jnp.square(q - mean),
-                                  axis=0)
-                    m_inv = jnp.clip(var, 1e-8, 1e8)
-                else:
-                    m_inv = None
-                q, accept = self._mutate(k_mut, q, new_beta, c.step_size,
-                                         m_inv)
-                step_size = c.step_size * jnp.exp(
-                    0.5 * (accept - self.target_accept)
-                )
-                step_size = jnp.clip(step_size, 1e-4, 2.0)
-
-                return _SMCCarry(
-                    q, log_w, new_beta, c.log_evidence + log_ev_inc,
-                    c.stage + 1, step_size, accept,
-                )
-
-            return lax.while_loop(cond, body, carry0)
-
-        if jit:
-            full = jax.jit(full)
-        out = full()
+        out = init(key_init)
+        while True:
+            out = chunk(out, key_loop)
+            beta = float(jax.device_get(out.beta))      # chunk fence
+            if beta >= 1.0 or int(jax.device_get(out.stage)) >= \
+                    self.max_stages:
+                break
 
         cons = jax.vmap(lambda q: self._constrain(self._unravel(q)))(out.q)
         return SMCResult(
             cons, normalize_log_weights(out.log_w), out.log_evidence,
             out.stage, out.accept, out.q,
         )
+
+    def _run_programs(self, jit, stage_chunk):
+        cache_key = (bool(jit), stage_chunk)
+        if not hasattr(self, "_prog_cache"):
+            self._prog_cache = {}
+        if cache_key in self._prog_cache:
+            return self._prog_cache[cache_key]
+
+        def init(key_init):
+            q0 = self._init_particles(key_init)
+            return _SMCCarry(
+                q0, jnp.zeros(self.n), jnp.zeros(()), jnp.zeros(()),
+                jnp.zeros((), jnp.int32),
+                jnp.asarray(self.init_step_size), jnp.ones(()),
+            )
+
+        def body(c: _SMCCarry, key_loop):
+            k_stage = jax.random.fold_in(key_loop, c.stage)
+            k_res, k_mut = jax.random.split(k_stage)
+
+            ll = self._loglik(c.q)
+            new_beta = self._next_beta(c.beta, ll, c.log_w)
+            delta = new_beta - c.beta
+
+            # evidence increment: log sum_i W_i lik_i^delta
+            logw_norm = normalize_log_weights(c.log_w)
+            log_ev_inc = logsumexp(logw_norm + delta * ll)
+            log_w = c.log_w + delta * ll
+
+            # systematic resampling, collective-symmetric
+            ess = effective_sample_size(log_w)
+            do_resample = ess < self.resample_threshold * self.n
+            anc = systematic_ancestors(k_res, log_w)
+            q_res = jnp.take(c.q, anc, axis=0)
+            q = jnp.where(do_resample, q_res, c.q)
+            log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w)
+
+            # HMC mutation at the new temperature
+            if self.precondition:
+                w_n = jnp.exp(normalize_log_weights(log_w))   # (N,)
+                mean = jnp.sum(w_n[:, None] * q, axis=0)
+                var = jnp.sum(w_n[:, None] * jnp.square(q - mean),
+                              axis=0)
+                m_inv = jnp.clip(var, 1e-8, 1e8)
+            else:
+                m_inv = None
+            q, accept = self._mutate(k_mut, q, new_beta, c.step_size,
+                                     m_inv)
+            step_size = c.step_size * jnp.exp(
+                0.5 * (accept - self.target_accept)
+            )
+            step_size = jnp.clip(step_size, 1e-4, 2.0)
+
+            return _SMCCarry(
+                q, log_w, new_beta, c.log_evidence + log_ev_inc,
+                c.stage + 1, step_size, accept,
+            )
+
+
+        def chunk(c0, key_loop):
+            def step(c, _):
+                done = jnp.logical_or(c.beta >= 1.0,
+                                      c.stage >= self.max_stages)
+                return lax.cond(done, lambda cc: cc,
+                                lambda cc: body(cc, key_loop), c), None
+
+            return lax.scan(step, c0, None, length=stage_chunk)[0]
+
+        if jit:
+            init = jax.jit(init)
+            chunk = jax.jit(chunk)
+        self._prog_cache[cache_key] = (init, chunk)
+        return init, chunk

@@ -138,15 +138,24 @@ class SVI:
         if state is None:
             state = self.init(key)
 
-        def full(state, margs):
-            def scan_step(carry, _):
-                new_state, loss = self.step(carry, model_args=margs)
-                return new_state, loss
+        # compiled programs are cached on the instance (keyed by step count)
+        # so repeated run() calls never re-trace — through the remote-TPU
+        # relay a re-trace + compile-cache hit costs seconds per call
+        if not hasattr(self, "_run_cache"):
+            self._run_cache = {}
+        cache_key = (int(num_steps), bool(jit))
+        full = self._run_cache.get(cache_key)
+        if full is None:
+            def full(state, margs):
+                def scan_step(carry, _):
+                    new_state, loss = self.step(carry, model_args=margs)
+                    return new_state, loss
 
-            return jax.lax.scan(scan_step, state, None, length=num_steps)
+                return jax.lax.scan(scan_step, state, None, length=num_steps)
 
-        if jit:
-            full = jax.jit(full)
+            if jit:
+                full = jax.jit(full)
+            self._run_cache[cache_key] = full
         state, losses = full(state, model_args)
         return SVIResult(state.params, losses, state)
 

@@ -75,3 +75,23 @@ def test_bad_file_rejected(tmp_path):
     if native_available():
         with pytest.raises(IOError):
             RatingsDataset(str(p), use_native=True)
+
+
+def test_metrics_logger_jsonl_and_tensorboard(tmp_path):
+    """SURVEY.md §5: JSONL emitter + optional TensorBoard scalar writer."""
+    import glob
+    import json as _json
+
+    from bayesic_tpu.utils.metrics import MetricsLogger
+
+    jl = tmp_path / "m.jsonl"
+    tb = tmp_path / "tb"
+    m = MetricsLogger(path=str(jl), tensorboard_dir=str(tb), enabled=True)
+    m.log(1, loss=3.25)
+    m.log(2, loss=2.5, note="warm")
+    m.close()
+
+    lines = [_json.loads(l) for l in jl.read_text().splitlines()]
+    assert [r["step"] for r in lines] == [1, 2]
+    assert lines[1]["note"] == "warm"
+    assert glob.glob(str(tb / "*")), "no TensorBoard event file written"
