@@ -358,12 +358,18 @@ def run_dlgm():
                        num_chains=n_chains, num_warmup=_steps(200),
                        num_samples=_steps(200))
 
+    holder = {}
+
     def once(k):
-        m, res = local_posterior_mcmc(
-            cfg2, out["decoder"], out["decoder_params"], out["sigma_x"],
-            out["x"][:4], k,
-        )
-        return res
+        # build the MCMC ONCE and reuse its cached compiled program —
+        # constructing a fresh instance per rep would re-trace every rep
+        if "mcmc" not in holder:
+            holder["mcmc"], res = local_posterior_mcmc(
+                cfg2, out["decoder"], out["decoder_params"], out["sigma_x"],
+                out["x"][:4], k,
+            )
+            return res
+        return holder["mcmc"].run(k)
 
     once(jax.random.PRNGKey(2))   # compile/warm
 
