@@ -40,4 +40,7 @@ def __getattr__(name):
     if name == "Predictive":
         from .infer.predictive import Predictive
         return Predictive
+    if name == "log_likelihood":
+        from .infer.loglik import log_likelihood
+        return log_likelihood
     raise AttributeError(name)

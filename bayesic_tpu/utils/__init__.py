@@ -1,5 +1,5 @@
 """Diagnostics, checkpointing, config, metrics (SURVEY.md C21/C23/aux)."""
 
-from . import diagnostics
+from . import compare, diagnostics
 
-__all__ = ["diagnostics"]
+__all__ = ["compare", "diagnostics"]
