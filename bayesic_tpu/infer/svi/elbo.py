@@ -40,21 +40,37 @@ def draw_subsample(info, key):
     return out
 
 
-def make_elbo(logdensity, guide, num_particles=1, stl=True, info=None):
+def make_elbo(logdensity, guide, num_particles=1, stl=True, info=None,
+              iwae=False):
     """Returns ``elbo(params, key, subsample=None) -> scalar`` (a stochastic
-    lower bound estimate; maximise it)."""
+    lower bound estimate; maximise it).
+
+    ``iwae=True`` returns the importance-weighted bound
+    ``logsumexp_k(log p - log q) - log K`` (Burda et al. 2016) — a strictly
+    tighter lower bound on the evidence for K > 1, with the standard
+    total-derivative reparameterized gradient.  Sticking-the-landing is
+    disabled in that case: dropping the score term is only unbiased for the
+    K=1 bound (the K>1 fix is DReG, not implemented).
+    """
+    if iwae and num_particles < 2:
+        raise ValueError("iwae=True needs num_particles >= 2")
 
     def elbo(params, key, subsample=None, model_args=None,
              model_params=None):
         ctx = {"subsample": subsample, "model_args": model_args}
         uparams, logq = guide.sample_and_log_prob(
-            params, key, (num_particles,), stop_gradient_q=stl, ctx=ctx
+            params, key, (num_particles,),
+            stop_gradient_q=stl and not iwae, ctx=ctx
         )
         logp = jax.vmap(
             lambda u: logdensity(u, subsample=subsample,
                                  model_args=model_args,
                                  params=model_params)
         )(uparams)
-        return jnp.mean(logp - logq)
+        logw = logp - logq
+        if iwae:
+            return (jax.scipy.special.logsumexp(logw, axis=0)
+                    - jnp.log(num_particles))
+        return jnp.mean(logw)
 
     return elbo

@@ -44,7 +44,7 @@ class SVIResult(NamedTuple):
 
 class SVI:
     def __init__(self, model, guide, optimizer, model_args=(),
-                 model_kwargs=None, num_particles=1, stl=True,
+                 model_kwargs=None, num_particles=1, stl=True, iwae=False,
                  grad_transform: Optional[Callable] = None):
         self.model = model
         self.optimizer = optimizer
@@ -58,7 +58,7 @@ class SVI:
             self.guide = guide(self.info)  # class or factory taking info
         self.elbo = make_elbo(
             self.logdensity, self.guide, num_particles=num_particles,
-            stl=stl, info=self.info,
+            stl=stl, info=self.info, iwae=iwae,
         )
         self.grad_transform = grad_transform
         self._model_args = model_args

@@ -164,3 +164,66 @@ def test_meanfield_correct_under_rbg_prng():
         np.testing.assert_allclose(float(std_u["mu"]), post_std, rtol=0.2)
     finally:
         _jax.config.update("jax_default_prng_impl", prev)
+
+
+def test_iwae_bound_tighter_and_below_evidence():
+    """IWAE (Burda et al. 2016): L_1 <= L_K <= log Z, evaluated at a FIXED
+    (untrained, mismatched) guide on a conjugate model with analytic
+    evidence."""
+    import scipy.stats as st
+
+    from bayesic_tpu.infer.svi.elbo import make_elbo
+
+    rng = np.random.default_rng(2)
+    n, tau = 20, 3.0
+    y = jnp.asarray(rng.normal(1.5, 1.0, n).astype(np.float32))
+    log_z = st.multivariate_normal.logpdf(
+        np.asarray(y), np.zeros(n), np.eye(n) + tau**2 * np.ones((n, n)))
+
+    def model():
+        mu = sample("mu", dist.Normal(0.0, tau))
+        sample("obs", dist.Normal(mu, 1.0).expand((n,)).to_event(1), obs=y)
+
+    svi = SVI(model, MeanFieldGuide, optax.adam(0.05))
+    params = svi.init(jax.random.PRNGKey(0)).params   # untrained guide
+    e1 = make_elbo(svi.logdensity, svi.guide, num_particles=1)
+    e32 = make_elbo(svi.logdensity, svi.guide, num_particles=32, iwae=True)
+    keys = jax.random.split(jax.random.PRNGKey(1), 512)
+    l1 = float(jnp.mean(jax.vmap(lambda k: e1(params, k))(keys)))
+    l32 = float(jnp.mean(jax.vmap(lambda k: e32(params, k))(keys)))
+    assert l1 < l32, (l1, l32)
+    assert l32 < log_z + 0.05, (l32, log_z)
+
+
+def test_iwae_svi_converges_to_evidence():
+    """1-D conjugate target: mean-field is exact, so the trained K=8 IWAE
+    bound must sit within MC noise of the analytic log evidence."""
+    import scipy.stats as st
+
+    rng = np.random.default_rng(3)
+    n = 30
+    y = jnp.asarray(rng.normal(0.5, 1.0, n).astype(np.float32))
+    log_z = st.multivariate_normal.logpdf(
+        np.asarray(y), np.zeros(n), np.eye(n) + 25.0 * np.ones((n, n)))
+
+    def model():
+        mu = sample("mu", dist.Normal(0.0, 5.0))
+        sample("obs", dist.Normal(mu, 1.0).expand((n,)).to_event(1), obs=y)
+
+    svi = SVI(model, MeanFieldGuide, optax.adam(0.05), num_particles=8,
+              iwae=True)
+    res = svi.run(KEY, 1500)
+    assert np.isfinite(np.asarray(res.losses)).all()
+    final_bound = -np.asarray(res.losses[-200:]).mean()
+    assert abs(final_bound - log_z) < 0.2, (final_bound, log_z)
+
+
+def test_iwae_requires_multiple_particles():
+    import pytest
+
+    def model():
+        sample("obs", dist.Normal(0.0, 1.0), obs=jnp.asarray(0.3))
+
+    with pytest.raises(ValueError):
+        SVI(model, MeanFieldGuide, optax.adam(0.05), num_particles=1,
+            iwae=True)
