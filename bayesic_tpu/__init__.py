@@ -43,4 +43,10 @@ def __getattr__(name):
     if name == "log_likelihood":
         from .infer.loglik import log_likelihood
         return log_likelihood
+    if name == "Laplace":
+        from .infer.laplace import Laplace
+        return Laplace
+    if name == "map_estimate":
+        from .infer.laplace import map_estimate
+        return map_estimate
     raise AttributeError(name)
