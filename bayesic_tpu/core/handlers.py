@@ -12,11 +12,12 @@ from __future__ import annotations
 from collections import OrderedDict
 
 import jax
+import jax.numpy as jnp
 
 from .primitives import HANDLER_STACK
 
 __all__ = ["Handler", "seed", "trace", "substitute", "condition", "scale",
-           "block", "uncondition"]
+           "block", "uncondition", "mask"]
 
 
 class Handler:
@@ -138,6 +139,26 @@ class uncondition(Handler):
         if msg["type"] == "sample" and msg["is_observed"]:
             msg["is_observed"] = False
             msg["value"] = None
+
+
+class mask(Handler):
+    """Elementwise-exclude density contributions where ``mask`` is False
+    (ragged batches, censoring windows, padded data).  The mask broadcasts
+    against each enclosed site's ``log_prob`` batch shape; nested masks
+    compose by logical AND.  Sampling is unaffected — only the log-density
+    terms are zeroed (SURVEY.md C3/C4 periphery)."""
+
+    def __init__(self, fn=None, mask=None):
+        super().__init__(fn)
+        if mask is None:
+            raise ValueError("mask handler needs mask=")
+        self.mask = mask
+
+    def process_message(self, msg):
+        if msg["type"] in ("sample", "factor"):
+            prev = msg.get("mask")
+            msg["mask"] = self.mask if prev is None \
+                else jnp.logical_and(prev, self.mask)
 
 
 class block(Handler):

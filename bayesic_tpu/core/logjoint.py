@@ -194,17 +194,24 @@ def build_logjoint(model, *args, **kwargs):
         ).get_trace(*call_args, **call_kwargs)
         return tr, values
 
+    def _apply_mask(site, lp):
+        # handlers.mask: elementwise-excluded terms contribute exactly zero
+        m = site.get("mask")
+        return lp if m is None else jnp.where(m, lp, jnp.zeros((), lp.dtype))
+
     def _accumulate(tr, uparams):
         total = jnp.zeros((), jnp.result_type(float))
         for name, site in tr.items():
             if site["type"] == "sample":
-                lp = site["dist"].log_prob(site["value"])
+                lp = _apply_mask(site, site["dist"].log_prob(site["value"]))
                 total = total + site["scale"] * jnp.sum(lp)
                 if name in info.transforms:
-                    ldj = info.transforms[name].log_det_jacobian(uparams[name])
+                    ldj = _apply_mask(site, info.transforms[name]
+                                      .log_det_jacobian(uparams[name]))
                     total = total + site["scale"] * jnp.sum(ldj)
             elif site["type"] == "factor":
-                total = total + site["scale"] * jnp.sum(site["value"])
+                lp = _apply_mask(site, jnp.asarray(site["value"]))
+                total = total + site["scale"] * jnp.sum(lp)
         return total
 
     # -- vectorized discrete enumeration (SURVEY.md C4) ---------------------
@@ -247,14 +254,15 @@ def build_logjoint(model, *args, **kwargs):
 
         for name, site in tr.items():
             if site["type"] == "sample":
-                lp = site["dist"].log_prob(site["value"])
+                lp = _apply_mask(site, site["dist"].log_prob(site["value"]))
                 terms.append((pad(lp), site["scale"], site["is_observed"]))
                 if name in info.transforms:
-                    ldj = info.transforms[name].log_det_jacobian(
-                        uparams[name])
+                    ldj = _apply_mask(site, info.transforms[name]
+                                      .log_det_jacobian(uparams[name]))
                     terms.append((pad(ldj), site["scale"], False))
             elif site["type"] == "factor":
-                terms.append((pad(site["value"]), site["scale"], True))
+                lp = _apply_mask(site, jnp.asarray(site["value"]))
+                terms.append((pad(lp), site["scale"], True))
         return terms
 
     def _eliminate(terms):
@@ -351,15 +359,17 @@ def build_logjoint(model, *args, **kwargs):
         log_lik = jnp.zeros((), ftype)
         for name, site in tr.items():
             if site["type"] == "sample":
-                lp = site["scale"] * jnp.sum(site["dist"].log_prob(
-                    site["value"]))
+                lp = site["scale"] * jnp.sum(_apply_mask(
+                    site, site["dist"].log_prob(site["value"])))
                 if site["is_observed"]:
                     log_lik = log_lik + lp
                 else:
-                    ldj = info.transforms[name].log_det_jacobian(uparams[name])
+                    ldj = _apply_mask(site, info.transforms[name]
+                                      .log_det_jacobian(uparams[name]))
                     log_prior = log_prior + lp + site["scale"] * jnp.sum(ldj)
             elif site["type"] == "factor":
-                log_lik = log_lik + site["scale"] * jnp.sum(site["value"])
+                log_lik = log_lik + site["scale"] * jnp.sum(
+                    _apply_mask(site, jnp.asarray(site["value"])))
         return log_prior, log_lik
 
     def constrain(uparams):
