@@ -45,7 +45,7 @@ class SVIResult(NamedTuple):
 class SVI:
     def __init__(self, model, guide, optimizer, model_args=(),
                  model_kwargs=None, num_particles=1, stl=True, iwae=False,
-                 grad_transform: Optional[Callable] = None):
+                 dreg=False, grad_transform: Optional[Callable] = None):
         self.model = model
         self.optimizer = optimizer
         self.num_particles = num_particles
@@ -58,7 +58,7 @@ class SVI:
             self.guide = guide(self.info)  # class or factory taking info
         self.elbo = make_elbo(
             self.logdensity, self.guide, num_particles=num_particles,
-            stl=stl, info=self.info, iwae=iwae,
+            stl=stl, info=self.info, iwae=iwae, dreg=dreg,
         )
         self.grad_transform = grad_transform
         self._model_args = model_args
