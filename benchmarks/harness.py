@@ -14,6 +14,17 @@ Metrics (BASELINE.json `metric`):
 PINNED MEASUREMENT PROTOCOL (VERDICT r1 item 2 — one format, stated
 variance, same-sweep comparisons only):
   * one untimed compile/warm pass, then ``REPS`` (=3) timed reps;
+  * each rep's fused scan is sized so the ON-CHIP wall is >= ~1-3 s: the
+    remote relay adds up-to-second-scale per-CALL latency jitter, so a
+    30 ms rep measures the tunnel, not the chip (measured 2026-08-17:
+    spreads of 1.0-1.5 on 0.3-0.6 s reps vs 0.07-0.2 on >=1 s reps);
+  * the HOST must be otherwise idle: the client thread drives the relay, so
+    a concurrent CPU-bound process (e.g. the test suite) inflates rep walls
+    up to 4x (measured 2026-08-17: matrix_fact 3.9-4.7 s/rep under load vs
+    a stable 1.126 s idle).  Each record carries ``load_avg`` (1-min) so a
+    contaminated sweep is detectable after the fact;
+  * the first 1-2 reps after a cold start can run ~1.5x slow (chip clock
+    ramp) even after the untimed warm pass — 5 reps + median absorbs this;
   * every rep threads EVOLVING state (SVI) or a FRESH PRNG key (MCMC/SMC)
     through the program, and fences with a real ``device_get`` of an output
     that data-depends on the whole computation (the remote relay can
@@ -67,7 +78,7 @@ jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-REPS = 3
+REPS = 5
 SMOKE = False     # set by --smoke: 10x fewer steps, CPU-sized validation
 
 
@@ -97,7 +108,8 @@ def _median_protocol(rep_fn, reps=REPS):
 def _record(name, metric, value, unit, **extra):
     rec = {"model": name, "metric": metric, "value": float(value),
            "unit": unit, "platform": jax.default_backend(),
-           "n_devices": jax.device_count()}
+           "n_devices": jax.device_count(),
+           "load_avg": round(_os.getloadavg()[0], 2)}
     rec.update(extra)
     print(json.dumps(rec), flush=True)
     return rec
@@ -212,7 +224,7 @@ def run_linreg():
     x, y, *_ = linreg.make_data(cfg)
     svi = SVI(linreg.model, MeanFieldGuide, optax.adam(0.05),
               model_args=(x, y, cfg.noise))
-    return [bench_svi("linreg", svi, jax.random.PRNGKey(0), 500,
+    return [bench_svi("linreg", svi, jax.random.PRNGKey(0), 20_000,
                       model_args=(x, y, cfg.noise),
                       cost=roofline.linreg_svi(cfg.n, cfg.dim))]
 
@@ -229,7 +241,7 @@ def run_hier_logistic():
     model = hl.make_model(cfg.num_groups, cfg.num_features, cfg.batch_size)
     svi = SVI(model, MeanFieldGuide, optax.adam(0.03),
               model_args=(x, y, group))
-    recs = [bench_svi("hier_logistic", svi, jax.random.PRNGKey(0), 500,
+    recs = [bench_svi("hier_logistic", svi, jax.random.PRNGKey(0), 10_000,
                       model_args=(x, y, group),
                       cost=roofline.hier_logistic_svi(
                           cfg.batch_size, cfg.num_features, cfg.num_groups))]
@@ -267,7 +279,7 @@ def run_matrix_fact():
     model = mf.make_model(cfg)
     svi = SVI(model, MeanFieldGuide,
               optax.adam(0.02), model_args=(users, items, ratings))
-    return [bench_svi("matrix_fact", svi, jax.random.PRNGKey(0), 200,
+    return [bench_svi("matrix_fact", svi, jax.random.PRNGKey(0), 3000,
                       model_args=(users, items, ratings),
                       cost=roofline.matrix_fact_svi(
                           cfg.batch_size, cfg.num_factors, cfg.num_users,
@@ -339,7 +351,7 @@ def run_dlgm():
     x = dlgm.make_data(cfg)
     model, guide, dec, enc = dlgm.make_model_and_guide(cfg, x)
     svi = SVI(model, guide, optax.adam(1e-3), model_args=(x,))
-    recs = [bench_svi("dlgm", svi, jax.random.PRNGKey(0), 500,
+    recs = [bench_svi("dlgm", svi, jax.random.PRNGKey(0), 20_000,
                       model_args=(x,),
                       cost=roofline.dlgm_svi(cfg.batch_size, cfg.data_dim,
                                              cfg.latent_dim, cfg.hidden),
