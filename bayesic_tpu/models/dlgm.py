@@ -182,6 +182,74 @@ def run_svi(cfg: Config, key=None, data_sharding=None):
     }
 
 
+def fused_init(cfg: Config, key):
+    """Initialize fused-trainer leaves (ops/fused_vae.LEAVES layout) with
+    the same distributions flax uses (lecun-normal kernels, zero biases)
+    and the same sigma_x init (0.5) as the `param` site in `model`."""
+    from ..ops import fused_vae as fv
+
+    shapes = fv.leaf_shapes(
+        fv.FusedVAEDims(cfg.num_data, cfg.data_dim, cfg.hidden,
+                        cfg.latent_dim, cfg.batch_size))
+    params, m, v = {}, {}, {}
+    for i, name in enumerate(fv.LEAVES):
+        s = shapes[name]
+        if name == "usig":
+            params[name] = jnp.full(s, float(np.log(0.5)))
+        elif name.startswith("w"):
+            params[name] = (jax.random.truncated_normal(
+                jax.random.fold_in(key, i), -2.0, 2.0, s)
+                / np.sqrt(s[0]))
+        else:
+            params[name] = jnp.zeros(s)
+        m[name] = jnp.zeros(s)
+        v[name] = jnp.zeros(s)
+    return params, m, v
+
+
+def fused_to_flax(params):
+    """Fused decoder leaves -> the flax Decoder param pytree (so recon /
+    NUTS reuse works on fused-trained parameters)."""
+    return {"params": {
+        "Dense_0": {"kernel": params["w1d"], "bias": params["b1d"][0]},
+        "Dense_1": {"kernel": params["w2d"], "bias": params["b2d"][0]},
+    }}
+
+
+def run_svi_fused(cfg: Config, key=None):
+    """Whole-run-in-VMEM Pallas trainer (ops/fused_vae.py): same model,
+    same estimator, one kernel launch for all `cfg.steps` steps."""
+    from ..ops import fused_vae as fv
+
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    x = make_data(cfg)
+    params, m, v = fused_init(cfg, key)
+    seed = int(jax.random.randint(jax.random.fold_in(key, 7), (),
+                                  0, 2**31 - 1))
+    # VMEM-resident exact gather when the (lane-padded) dataset fits;
+    # HBM block sampling (one-time shuffle) otherwise
+    vmem_bytes = cfg.num_data * max(cfg.data_dim, 128) * 4
+    gather = "onehot" if vmem_bytes <= 6 * 2**20 else "block"
+    if gather == "block":
+        perm = jax.random.permutation(jax.random.fold_in(key, 8),
+                                      cfg.num_data)
+        x = x[perm]
+    params, m, v, losses = fv.fused_train(
+        x, params, m, v, steps=cfg.steps, lr=cfg.lr, seed=seed,
+        batch=cfg.batch_size, gather=gather,
+        interpret=jax.default_backend() != "tpu")
+    sigma_x = float(jnp.exp(params["usig"][0, 0]))
+    return {
+        "x": x,
+        "params": params,
+        "decoder_params": fused_to_flax(params),
+        "sigma_x": sigma_x,
+        "final_elbo": -float(losses[-1]),
+        "losses": np.asarray(losses),
+        "opt_state": (m, v),
+    }
+
+
 def local_posterior_mcmc(cfg: Config, dec, dec_params, sigma_x, x_batch,
                          key, chain_sharding=None, shared_adapt=None):
     """NUTS over the local latents z for a fixed decoder — the

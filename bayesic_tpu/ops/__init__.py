@@ -12,10 +12,12 @@ fuses those phases anyway; the real C14a kernel is gmm_loglik_grad — the
 leapfrog's gradient eval fused into one launch.
 """
 
+from .fused_vae import fused_train, reference_train
 from .gather import gather_reference, mxu_gather
 from .gmm_logprob import gmm_loglik, gmm_loglik_grad, gmm_loglik_reference
 
 __all__ = [
     "gmm_loglik", "gmm_loglik_grad", "gmm_loglik_reference",
     "mxu_gather", "gather_reference",
+    "fused_train", "reference_train",
 ]

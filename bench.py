@@ -67,7 +67,14 @@ def main():
     for r in records:
         by_model[r["model"]] = {k: r[k] for k in KEEP if k in r}
 
+    # headline = the best supported configuration of the flagship DLGM
+    # workload: since round 2 that is the whole-run fused Pallas trainer
+    # (ops/fused_vae.py, same model/estimator — record `dlgm_fused`), with
+    # the XLA-path `dlgm` record kept alongside for the like-for-like series
     headline = by_model.get("dlgm", {})
+    fused = by_model.get("dlgm_fused", {})
+    if fused.get("value", 0.0) > headline.get("value", 0.0):
+        headline = fused
     value = float(headline.get("value", 0.0))
     out = {
         "metric": "dlgm_elbo_steps_per_s_per_chip",

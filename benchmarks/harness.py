@@ -357,6 +357,48 @@ def run_dlgm():
                                              cfg.latent_dim, cfg.hidden),
                       dtype=cfg.compute_dtype)]
 
+    # whole-run-in-VMEM fused Pallas trainer (ops/fused_vae.py) on the SAME
+    # workload: one kernel launch per rep, params/Adam/data device-resident
+    from bayesic_tpu.models.dlgm import fused_init
+    from bayesic_tpu.ops import fused_vae as fv
+
+    if jax.default_backend() == "tpu":   # interpret mode is no perf point
+        steps_f = _steps(20_000)
+        xs = x[jax.random.permutation(jax.random.PRNGKey(8), cfg.num_data)]
+        fp, fm, fvv = fused_init(cfg, jax.random.PRNGKey(0))
+        holder_f = {"p": fp, "m": fm, "v": fvv, "t0": 0}
+
+        def fused_call(seed):
+            p, m, v, losses = fv.fused_train(
+                xs, holder_f["p"], holder_f["m"], holder_f["v"],
+                steps=steps_f, lr=cfg.lr, seed=seed, batch=cfg.batch_size,
+                gather="block", t0=holder_f["t0"])
+            holder_f.update(p=p, m=m, v=v, t0=holder_f["t0"] + steps_f)
+            return losses
+
+        losses_f = fused_call(1)
+        _force(losses_f)
+
+        def rep_f(i):
+            t0 = time.perf_counter()
+            losses = fused_call(2 + i)
+            _force(losses)
+            _force(holder_f["p"]["usig"])
+            holder_f["last_loss"] = float(losses[-1])
+            return time.perf_counter() - t0
+
+        med, spread, _ = _median_protocol(rep_f)
+        rate = steps_f / med / jax.device_count()
+        rec_f = _record("dlgm_fused", "elbo_steps_per_s_per_chip", rate,
+                        "steps/s/chip", steps=steps_f, reps=REPS,
+                        spread=round(spread, 4),
+                        final_loss=holder_f["last_loss"])
+        roofline.annotate(rec_f, *roofline.dlgm_svi(
+            cfg.batch_size, cfg.data_dim, cfg.latent_dim, cfg.hidden),
+            steps_per_s=rate * jax.device_count(), dtype=cfg.compute_dtype,
+            platform=jax.default_backend())
+        recs.append(rec_f)
+
     # the 1024-sharded-chain NUTS variant (configs[4]) with pooled
     # cross-chain adaptation
     out = dlgm.run_svi(dlgm.Config(num_data=2048, data_dim=32,
