@@ -49,4 +49,10 @@ def __getattr__(name):
     if name == "map_estimate":
         from .infer.laplace import map_estimate
         return map_estimate
+    if name == "ParallelTempering":
+        from .infer.mcmc import ParallelTempering
+        return ParallelTempering
+    if name == "SGMCMC":
+        from .infer.sgmcmc import SGMCMC
+        return SGMCMC
     raise AttributeError(name)
