@@ -1,12 +1,13 @@
 """SVI backend (SURVEY.md C5-C7)."""
 
 from .elbo import draw_subsample, make_elbo
+from .flows import FlowGuide
 from .guides import (FullRankGuide, Guide, MeanFieldGuide, NeuralGuide,
                      TraceGuide, unraveler)
 from .svi import SVI, SVIResult, SVIState
 
 __all__ = [
     "SVI", "SVIResult", "SVIState", "make_elbo", "draw_subsample",
-    "Guide", "MeanFieldGuide", "FullRankGuide", "NeuralGuide",
+    "Guide", "MeanFieldGuide", "FullRankGuide", "FlowGuide", "NeuralGuide",
     "TraceGuide", "unraveler",
 ]
