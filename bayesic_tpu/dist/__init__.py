@@ -28,6 +28,7 @@ from .distribution import (
     Independent,
     TransformedDistribution,
 )
+from .hmm import HiddenMarkovModel
 from .mixture import MixtureSameFamily
 from .multivariate import Dirichlet, LKJCholesky, MultivariateNormal
 from .transforms import biject_to
@@ -66,5 +67,6 @@ __all__ = [
     "MultivariateNormal",
     "Dirichlet",
     "LKJCholesky",
+    "HiddenMarkovModel",
     "MixtureSameFamily",
 ]
