@@ -28,6 +28,10 @@ from .distribution import (
     Independent,
     TransformedDistribution,
 )
+from .compound import (BetaBinomial, DirichletMultinomial,
+                       GaussianRandomWalk, VonMises,
+                       ZeroInflatedDistribution,
+                       ZeroInflatedNegativeBinomial, ZeroInflatedPoisson)
 from .hmm import HiddenMarkovModel
 from .mixture import MixtureSameFamily
 from .multivariate import Dirichlet, LKJCholesky, MultivariateNormal
@@ -67,6 +71,13 @@ __all__ = [
     "MultivariateNormal",
     "Dirichlet",
     "LKJCholesky",
+    "BetaBinomial",
+    "DirichletMultinomial",
+    "GaussianRandomWalk",
+    "VonMises",
+    "ZeroInflatedDistribution",
+    "ZeroInflatedPoisson",
+    "ZeroInflatedNegativeBinomial",
     "HiddenMarkovModel",
     "MixtureSameFamily",
 ]
