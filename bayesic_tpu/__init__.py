@@ -55,4 +55,7 @@ def __getattr__(name):
     if name == "SGMCMC":
         from .infer.sgmcmc import SGMCMC
         return SGMCMC
+    if name == "SVGD":
+        from .infer.svgd import SVGD
+        return SVGD
     raise AttributeError(name)
