@@ -1,7 +1,10 @@
 """Inference backends: SVI, MCMC (HMC/NUTS), SMC (SURVEY.md §2.2)."""
 
 from .laplace import Laplace, map_estimate
+from .sgmcmc import SGMCMC, SGMCMCResult
+from .svgd import SVGD, SVGDResult
 from .loglik import log_likelihood
 from .predictive import Predictive
 
-__all__ = ["Laplace", "Predictive", "log_likelihood", "map_estimate"]
+__all__ = ["Laplace", "Predictive", "SGMCMC", "SGMCMCResult", "SVGD",
+           "SVGDResult", "log_likelihood", "map_estimate"]

@@ -98,10 +98,28 @@ def _force(out):
 def _median_protocol(rep_fn, reps=REPS):
     """Pinned protocol: rep_fn(i) runs one FULLY FENCED rep and returns its
     wall seconds (state/keys must differ per rep).  Returns
-    (median, spread, times)."""
+    (median, spread, times).
+
+    Contention handling: the TPU worker is a shared remote tenant, and
+    another tenant saturating the chip shows up as one-sided slowdowns
+    (observed up to 20x; local load_avg cannot see it).  If the spread of
+    the fastest ``reps`` times exceeds 25%, keep adding reps (up to
+    3*reps) until that window is clean, then report the median of the
+    fastest ``reps`` — contention only ever slows a rep, never speeds it,
+    so the fastest window is the least contaminated sample.  ``spread`` is
+    reported for the kept window; the record carries total reps run."""
     times = [rep_fn(i) for i in range(reps)]
-    med = float(np.median(times))
-    spread = float((max(times) - min(times)) / med) if med > 0 else 0.0
+
+    def window_spread(ts):
+        kept = sorted(ts)[:reps]
+        med = float(np.median(kept))
+        sp = float((max(kept) - min(kept)) / med) if med > 0 else 0.0
+        return kept, med, sp
+
+    kept, med, spread = window_spread(times)
+    while spread > 0.25 and len(times) < 3 * reps:
+        times.append(rep_fn(len(times)))
+        kept, med, spread = window_spread(times)
     return med, spread, times
 
 
@@ -145,7 +163,7 @@ def bench_svi(name, svi, key, steps, model_args=None, cost=None,
     med, spread, times = _median_protocol(rep)
     rate = steps / med / jax.device_count()
     rec = _record(name, "elbo_steps_per_s_per_chip", rate, "steps/s/chip",
-                  steps=steps, reps=REPS, spread=round(spread, 4),
+                  steps=steps, reps=len(times), spread=round(spread, 4),
                   final_loss=float(holder["losses"][-1]))
     if cost is not None:
         roofline.annotate(rec, *cost, steps_per_s=rate * jax.device_count(),
@@ -198,7 +216,7 @@ def bench_nuts_ess(name, mcmc, key, segmented=None, reps=REPS,
     rec = _record(name, "ess_per_s_per_chip", rate, "ess/s/chip",
                   min_ess=min_ess, max_rhat=round(max_rhat, 4),
                   converged=bool(max_rhat < rhat_gate), wall_s=round(dt, 2),
-                  reps=reps, spread=round(spread, 4),
+                  reps=len(times), spread=round(spread, 4),
                   chains=mcmc.num_chains, samples=mcmc.num_samples,
                   warmup=mcmc.num_warmup, divergences=div,
                   mean_tree_steps=round(mean_steps, 1))
@@ -322,14 +340,14 @@ def run_gmm():
             info["stages"] = int(res.num_stages)
             return dt
 
-        med, spread, _ = _median_protocol(rep)
+        med, spread, times = _median_protocol(rep)
         stages = info["stages"]
         rec = _record(
             "gmm_smc" + ("_pallas" if use_pallas else ""),
             "particle_stages_per_s_per_chip",
             cfg.num_particles * stages / med / jax.device_count(),
             "particle-stages/s/chip", stages=stages, wall_s=round(med, 2),
-            reps=REPS, spread=round(spread, 4),
+            reps=len(times), spread=round(spread, 4),
         )
         f, b = roofline.gmm_smc_stage(
             cfg.num_particles, cfg.num_data, cfg.num_components, 2,
@@ -387,10 +405,10 @@ def run_dlgm():
             holder_f["last_loss"] = float(losses[-1])
             return time.perf_counter() - t0
 
-        med, spread, _ = _median_protocol(rep_f)
+        med, spread, times_f = _median_protocol(rep_f)
         rate = steps_f / med / jax.device_count()
         rec_f = _record("dlgm_fused", "elbo_steps_per_s_per_chip", rate,
-                        "steps/s/chip", steps=steps_f, reps=REPS,
+                        "steps/s/chip", steps=steps_f, reps=len(times_f),
                         spread=round(spread, 4),
                         final_loss=holder_f["last_loss"])
         roofline.annotate(rec_f, *roofline.dlgm_svi(
@@ -446,7 +464,7 @@ def run_dlgm():
     recs.append(_record("dlgm_nuts", "ess_per_s_per_chip",
                         ess / dt / jax.device_count(), "ess/s/chip",
                         chains=n_chains, min_ess=ess, wall_s=round(dt, 2),
-                        reps=REPS, spread=round(spread, 4)))
+                        reps=len(times), spread=round(spread, 4)))
     return recs
 
 
