@@ -67,6 +67,34 @@ class _PTState(NamedTuple):
     ll: jax.Array         # (C, K) log likelihood
 
 
+def _ti_evidence(betas, lls):
+    """Thermodynamic integration: log Z = int_0^1 E_beta[loglik] d beta,
+    trapezoid over the ladder (ascending).  lls: (S, C, K).  Covers only
+    [min(betas), 1] — pass a ladder that reaches beta=0 (e.g.
+    ``betas=jnp.concatenate([geometric_ladder(K-1), jnp.zeros(1)])``) for
+    an unbiased marginal-likelihood estimate."""
+    mean_ll = jnp.mean(lls, axis=(0, 1))              # (K,) per rung
+    order = jnp.argsort(betas)
+    b = betas[order]
+    m = mean_ll[order]
+    return jnp.sum(0.5 * (m[1:] + m[:-1]) * (b[1:] - b[:-1]))
+
+
+def _stepping_stone(betas, lls):
+    """Stepping-stone (Xie et al. 2011): log Z = sum_k log
+    E_{beta_k}[exp((beta_{k+1}-beta_k) ll)], adjacent rungs ascending,
+    each expectation estimated from the LOWER rung's draws (logsumexp over
+    S*C samples).  Same ladder-coverage caveat as TI."""
+    order = jnp.argsort(betas)
+    b = betas[order]
+    ll_sorted = lls[:, :, order].reshape(-1, betas.shape[0])   # (S*C, K)
+    n = ll_sorted.shape[0]
+    delta = b[1:] - b[:-1]                             # (K-1,)
+    terms = jax.scipy.special.logsumexp(
+        delta[None, :] * ll_sorted[:, :-1], axis=0) - jnp.log(n)
+    return jnp.sum(terms)
+
+
 def geometric_ladder(num_replicas, beta_min=0.05):
     """beta_k = beta_min^(k/(K-1)); the standard default for lik-tempering."""
     if num_replicas == 1:
@@ -263,7 +291,7 @@ class ParallelTempering:
                 state, pair_acc = self._swap(k_swap, state, t % 2)
                 return ((state, eps_k, inv_mass),
                         (state.q[:, 0, :], jnp.mean(acc, 0),
-                         jnp.mean(pair_acc, 0)))
+                         jnp.mean(pair_acc, 0), state.ll))
 
             def run_all(kr, s0):
                 da0 = jax.vmap(
@@ -277,14 +305,14 @@ class ParallelTempering:
                     warm_step, (s0, da0, wf0, inv0),
                     jnp.arange(self.num_warmup))
                 eps_k = jnp.exp(da.log_step_avg)
-                _, (qs, accs, swaps) = lax.scan(
+                _, (qs, accs, swaps, lls) = lax.scan(
                     sample_step, (state, eps_k, inv_mass),
                     jnp.arange(self.num_samples))
-                return qs, accs, swaps, eps_k
+                return qs, accs, swaps, lls, eps_k
 
             self._run_fn = jax.jit(run_all)
 
-        qs, accs, swaps, eps_k = self._run_fn(key_run, state0)
+        qs, accs, swaps, lls, eps_k = self._run_fn(key_run, state0)
         # qs: (S, C, dim) -> (C, S, dim)
         qs = jnp.swapaxes(qs, 0, 1)
         flat = qs.reshape(-1, self.dim)
@@ -299,5 +327,8 @@ class ParallelTempering:
             "swap_accept": swap_rate,
             "step_size": eps_k,
             "betas": self.betas,
+            # lls: (S, C, K) likelihood draws per rung
+            "log_evidence_ti": _ti_evidence(self.betas, lls),
+            "log_evidence_ss": _stepping_stone(self.betas, lls),
         }
         return PTResult(samples, extra, qs)

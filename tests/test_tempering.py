@@ -110,3 +110,29 @@ def test_pt_swap_invariance_unimodal():
     post_mean = 10.0 * float(np.mean(np.asarray(y))) / prec
     mu = np.asarray(res.samples["mu"]).ravel()
     assert abs(mu.mean() - post_mean) < 0.1
+
+
+def test_pt_evidence_beta_bernoulli():
+    """TI and stepping-stone marginal likelihood vs the analytic
+    Beta-Bernoulli evidence: 50 trials, 37 heads, uniform prior ->
+    log Z = -log(51) (the SURVEY.md C24 SMC oracle, now via PT)."""
+    heads, n = 37, 50
+    y = jnp.concatenate([jnp.ones(heads), jnp.zeros(n - heads)])
+
+    def model():
+        p = sample("p", dist.Beta(1.0, 1.0))
+        sample("obs", dist.Bernoulli(p).expand((n,)).to_event(1), obs=y)
+
+    betas = jnp.concatenate([geometric_ladder(11, beta_min=0.01),
+                             jnp.zeros((1,))])
+    pt = ParallelTempering(model, betas=betas, num_warmup=400,
+                           num_samples=1500, num_chains=8)
+    res = pt.run(jax.random.PRNGKey(3))
+    # Bernoulli-sequence likelihood (no binomial coefficient):
+    # Z = B(heads+1, n-heads+1) / B(1, 1)
+    from scipy.special import betaln
+    ref = float(betaln(heads + 1, n - heads + 1))
+    ss = float(res.extra["log_evidence_ss"])
+    ti = float(res.extra["log_evidence_ti"])
+    assert abs(ss - ref) < 0.1, (ss, ref)
+    assert abs(ti - ref) < 0.3, (ti, ref)   # trapezoid bias on 12 rungs
