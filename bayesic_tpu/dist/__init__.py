@@ -28,7 +28,7 @@ from .distribution import (
     Independent,
     TransformedDistribution,
 )
-from .compound import (BetaBinomial, DirichletMultinomial,
+from .compound import (BetaBinomial, Censored, DirichletMultinomial,
                        GaussianRandomWalk, VonMises,
                        ZeroInflatedDistribution,
                        ZeroInflatedNegativeBinomial, ZeroInflatedPoisson)
@@ -72,6 +72,7 @@ __all__ = [
     "Dirichlet",
     "LKJCholesky",
     "BetaBinomial",
+    "Censored",
     "DirichletMultinomial",
     "GaussianRandomWalk",
     "VonMises",

@@ -21,7 +21,8 @@ from jax.scipy.special import betaln, gammaln, i0e
 from . import constraints
 from .distribution import Distribution
 
-__all__ = ["BetaBinomial", "DirichletMultinomial", "GaussianRandomWalk",
+__all__ = ["BetaBinomial", "Censored", "DirichletMultinomial",
+           "GaussianRandomWalk",
            "VonMises", "ZeroInflatedDistribution", "ZeroInflatedPoisson",
            "ZeroInflatedNegativeBinomial"]
 
@@ -265,3 +266,62 @@ def ZeroInflatedNegativeBinomial(gate, total_count, probs=None, logits=None):
     from .discrete import NegativeBinomial
     return ZeroInflatedDistribution(
         NegativeBinomial(total_count, probs=probs, logits=logits), gate=gate)
+
+
+class Censored(Distribution):
+    """Censoring wrapper: observations recorded AT a bound carry that
+    tail's probability mass (Type-I censoring, e.g. survival analysis,
+    detection limits).
+
+    ``log_prob``: interior x -> base density; x <= lower -> log F(lower);
+    x >= upper -> log (1 - F(upper)).  Requires ``base_dist.cdf``.
+    ``sample`` draws from the base and clips to the bounds (the observable
+    quantity)."""
+
+    _params = ("base_dist", "lower", "upper")
+    reparametrized = False
+
+    def __init__(self, base_dist, lower=None, upper=None):
+        if lower is None and upper is None:
+            raise ValueError("Censored needs at least one bound")
+        if not hasattr(base_dist, "cdf"):
+            raise ValueError(
+                f"{type(base_dist).__name__} has no cdf; censoring needs it")
+        self.base_dist = base_dist
+        self.lower = None if lower is None else jnp.asarray(lower)
+        self.upper = None if upper is None else jnp.asarray(upper)
+        shapes = [base_dist.batch_shape]
+        for b in (self.lower, self.upper):
+            if b is not None:
+                shapes.append(jnp.shape(b))
+        super().__init__(jax.lax.broadcast_shapes(*shapes),
+                         base_dist.event_shape)
+
+    @property
+    def support(self):
+        return self.base_dist.support
+
+    def sample(self, key, sample_shape=()):
+        x = self.base_dist.sample(key, sample_shape)
+        if self.lower is not None:
+            x = jnp.maximum(x, self.lower)
+        if self.upper is not None:
+            x = jnp.minimum(x, self.upper)
+        return x
+
+    def log_prob(self, x):
+        # evaluate the base density at a value pushed safely inside the
+        # bounds so the where() never sees NaN/inf gradients at the bound
+        safe = x
+        if self.lower is not None:
+            safe = jnp.maximum(safe, self.lower + 1e-6)
+        if self.upper is not None:
+            safe = jnp.minimum(safe, self.upper - 1e-6)
+        lp = self.base_dist.log_prob(safe)
+        if self.lower is not None:
+            mass = jnp.clip(self.base_dist.cdf(self.lower), 1e-37, 1.0)
+            lp = jnp.where(x <= self.lower, jnp.log(mass), lp)
+        if self.upper is not None:
+            sf = jnp.clip(1.0 - self.base_dist.cdf(self.upper), 1e-37, 1.0)
+            lp = jnp.where(x >= self.upper, jnp.log(sf), lp)
+        return lp

@@ -110,6 +110,12 @@ class LogNormal(Distribution):
         s2 = jnp.square(self.scale)
         return (jnp.exp(s2) - 1.0) * jnp.exp(2.0 * self.loc + s2)
 
+    def cdf(self, x):
+        return ndtr((jnp.log(x) - self.loc) / self.scale)
+
+    def icdf(self, q):
+        return jnp.exp(self.loc + self.scale * ndtri(q))
+
 
 class HalfNormal(Distribution):
     _params = ("scale",)
@@ -138,6 +144,9 @@ class HalfNormal(Distribution):
     def variance(self):
         return jnp.square(self.scale) * (1.0 - 2.0 / math.pi)
 
+    def cdf(self, x):
+        return 2.0 * ndtr(x / self.scale) - 1.0
+
 
 class Cauchy(Distribution):
     _params = ("loc", "scale")
@@ -154,6 +163,12 @@ class Cauchy(Distribution):
     def log_prob(self, x):
         z = (x - self.loc) / self.scale
         return -math.log(math.pi) - jnp.log(self.scale) - jnp.log1p(z * z)
+
+    def cdf(self, x):
+        return 0.5 + jnp.arctan((x - self.loc) / self.scale) / jnp.pi
+
+    def icdf(self, q):
+        return self.loc + self.scale * jnp.tan(jnp.pi * (q - 0.5))
 
 
 class HalfCauchy(Distribution):
@@ -174,6 +189,9 @@ class HalfCauchy(Distribution):
         return (
             math.log(2.0 / math.pi) - jnp.log(self.scale) - jnp.log1p(z * z)
         )
+
+    def cdf(self, x):
+        return 2.0 * jnp.arctan(x / self.scale) / jnp.pi
 
 
 class StudentT(Distribution):
@@ -209,6 +227,13 @@ class StudentT(Distribution):
         v = jnp.square(self.scale) * self.df / (self.df - 2.0)
         return jnp.where(self.df > 2, v, jnp.nan)
 
+    def cdf(self, x):
+        from jax.scipy.special import betainc
+        z = (x - self.loc) / self.scale
+        ib = betainc(0.5 * self.df, 0.5,
+                     self.df / (self.df + z * z))
+        return jnp.where(z >= 0, 1.0 - 0.5 * ib, 0.5 * ib)
+
 
 class Laplace(Distribution):
     _params = ("loc", "scale")
@@ -233,6 +258,10 @@ class Laplace(Distribution):
     @property
     def variance(self):
         return 2.0 * jnp.square(self.scale)
+
+    def cdf(self, x):
+        z = (x - self.loc) / self.scale
+        return jnp.where(z < 0, 0.5 * jnp.exp(z), 1.0 - 0.5 * jnp.exp(-z))
 
 
 class Exponential(Distribution):
@@ -262,6 +291,12 @@ class Exponential(Distribution):
     def entropy(self):
         return 1.0 - jnp.log(self.rate)
 
+    def cdf(self, x):
+        return -jnp.expm1(-self.rate * x)
+
+    def icdf(self, q):
+        return -jnp.log1p(-q) / self.rate
+
 
 class Gamma(Distribution):
     """Shape/rate parameterization. Sampling is pathwise-differentiable in
@@ -290,6 +325,10 @@ class Gamma(Distribution):
     @property
     def variance(self):
         return self.concentration / jnp.square(self.rate)
+
+    def cdf(self, x):
+        from jax.scipy.special import gammainc
+        return gammainc(self.concentration, self.rate * x)
 
 
 class InverseGamma(Distribution):
@@ -350,6 +389,10 @@ class Beta(Distribution):
         t = a + b
         return a * b / (t * t * (t + 1.0))
 
+    def cdf(self, x):
+        from jax.scipy.special import betainc
+        return betainc(self.concentration1, self.concentration0, x)
+
 
 class Uniform(Distribution):
     _params = ("low", "high")
@@ -378,6 +421,12 @@ class Uniform(Distribution):
     @property
     def variance(self):
         return jnp.square(self.high - self.low) / 12.0
+
+    def cdf(self, x):
+        return jnp.clip((x - self.low) / (self.high - self.low), 0.0, 1.0)
+
+    def icdf(self, q):
+        return self.low + q * (self.high - self.low)
 
 
 class TruncatedNormal(Distribution):
@@ -440,6 +489,12 @@ class Weibull(Distribution):
         from jax.scipy.special import gammaln
         return self.scale * jnp.exp(gammaln(1.0 + 1.0 / self.concentration))
 
+    def cdf(self, x):
+        return -jnp.expm1(-((x / self.scale) ** self.concentration))
+
+    def icdf(self, q):
+        return self.scale * (-jnp.log1p(-q)) ** (1.0 / self.concentration)
+
 
 class Gumbel(Distribution):
     _params = ("loc", "scale")
@@ -464,6 +519,12 @@ class Gumbel(Distribution):
     @property
     def variance(self):
         return (math.pi**2 / 6.0) * jnp.square(self.scale)
+
+    def cdf(self, x):
+        return jnp.exp(-jnp.exp(-(x - self.loc) / self.scale))
+
+    def icdf(self, q):
+        return self.loc - self.scale * jnp.log(-jnp.log(q))
 
 
 class Pareto(Distribution):
@@ -496,6 +557,9 @@ class Pareto(Distribution):
             self.alpha > 1, self.alpha * self.scale / (self.alpha - 1.0),
             jnp.inf,
         )
+
+    def cdf(self, x):
+        return 1.0 - (self.scale / x) ** self.alpha
 
 
 class Chi2(Gamma):

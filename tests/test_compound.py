@@ -108,3 +108,75 @@ def test_zero_inflated_negative_binomial():
     ref = np.log(0.8 * base + np.where(ks == 0, 0.2, 0.0))
     np.testing.assert_allclose(
         np.asarray(d.log_prob(jnp.asarray(ks))), ref, rtol=1e-4)
+
+
+def test_censored_log_prob():
+    base = dist.Normal(1.0, 2.0)
+    d = dist.Censored(base, lower=-1.0, upper=3.0)
+    # interior: base density
+    np.testing.assert_allclose(float(d.log_prob(jnp.asarray(0.5))),
+                               ss.norm(1, 2).logpdf(0.5), rtol=1e-6)
+    # at bounds: tail masses
+    np.testing.assert_allclose(float(d.log_prob(jnp.asarray(-1.0))),
+                               np.log(ss.norm(1, 2).cdf(-1.0)), rtol=1e-5)
+    np.testing.assert_allclose(float(d.log_prob(jnp.asarray(3.0))),
+                               np.log(ss.norm(1, 2).sf(3.0)), rtol=1e-5)
+    # sampling clips; masses at the bounds match the tails
+    x = np.asarray(d.sample(KEY, (40000,)))
+    assert x.min() >= -1.0 and x.max() <= 3.0
+    assert abs((x == -1.0).mean() - ss.norm(1, 2).cdf(-1.0)) < 0.01
+    assert abs((x == 3.0).mean() - ss.norm(1, 2).sf(3.0)) < 0.01
+
+
+def test_censored_tobit_regression():
+    """Tobit model: y* = a + b x + eps, observed y = max(y*, 0); NUTS must
+    recover (a, b) despite 40% censoring."""
+    from bayesic_tpu.core import sample
+    from bayesic_tpu.infer.mcmc import MCMC
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-2, 2, 300).astype(np.float32))
+    a_true, b_true = -0.5, 1.2
+    y_star = a_true + b_true * np.asarray(x) + rng.normal(0, 0.5, 300)
+    y = jnp.asarray(np.maximum(y_star, 0.0).astype(np.float32))
+    assert 0.25 < float((y == 0).mean()) < 0.65
+
+    def model():
+        a = sample("a", dist.Normal(0.0, 2.0))
+        b = sample("b", dist.Normal(0.0, 2.0))
+        base = dist.Normal(a + b * x, 0.5)
+        sample("obs", dist.Censored(base, lower=0.0).to_event(1), obs=y)
+
+    r = MCMC(model=model, num_warmup=400, num_samples=400,
+             num_chains=4).run(jax.random.PRNGKey(4))
+    a_hat = float(np.asarray(r.samples["a"]).mean())
+    b_hat = float(np.asarray(r.samples["b"]).mean())
+
+    # oracle: the Tobit MLE on the same data (posterior mean must sit on
+    # it; the flat-ish priors contribute negligible shrinkage at n=300)
+    from scipy.optimize import minimize
+
+    def nll(p):
+        mu = p[0] + p[1] * np.asarray(x)
+        ll = np.where(np.asarray(y) == 0,
+                      ss.norm.logcdf((0 - mu) / 0.5),
+                      ss.norm.logpdf(np.asarray(y), mu, 0.5))
+        return -ll.sum()
+
+    a_mle, b_mle = minimize(nll, [0.0, 0.0]).x
+    assert abs(a_hat - a_mle) < 0.05
+    assert abs(b_hat - b_mle) < 0.05
+    # and the truth is inside 3 posterior sds
+    assert abs(a_hat - a_true) < 3 * np.asarray(r.samples["a"]).std() + 0.05
+    assert abs(b_hat - b_true) < 3 * np.asarray(r.samples["b"]).std() + 0.05
+
+
+def test_cdf_icdf_roundtrip():
+    cases = [dist.Normal(0.5, 2.0), dist.Exponential(1.5),
+             dist.Gumbel(0.0, 1.0), dist.Cauchy(1.0, 0.5),
+             dist.Uniform(-1.0, 2.0), dist.Weibull(2.0, 1.5),
+             dist.LogNormal(0.2, 0.7)]
+    q = jnp.asarray([0.05, 0.3, 0.5, 0.9])
+    for d in cases:
+        np.testing.assert_allclose(np.asarray(d.cdf(d.icdf(q))),
+                                   np.asarray(q), rtol=1e-5, atol=1e-6)
