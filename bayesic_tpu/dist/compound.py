@@ -22,7 +22,7 @@ from . import constraints
 from .distribution import Distribution
 
 __all__ = ["BetaBinomial", "Censored", "DirichletMultinomial",
-           "GaussianRandomWalk",
+           "GaussianRandomWalk", "Truncated",
            "VonMises", "ZeroInflatedDistribution", "ZeroInflatedPoisson",
            "ZeroInflatedNegativeBinomial"]
 
@@ -325,3 +325,75 @@ class Censored(Distribution):
             sf = jnp.clip(1.0 - self.base_dist.cdf(self.upper), 1e-37, 1.0)
             lp = jnp.where(x >= self.upper, jnp.log(sf), lp)
         return lp
+
+
+class Truncated(Distribution):
+    """Generic truncation of any scalar continuous ``base_dist`` with a
+    ``cdf``: density renormalized to [lower, upper], sampling by inverse-
+    cdf of a uniform on [F(lower), F(upper)] (needs ``base_dist.icdf``;
+    falls back to a fixed-round rejection loop otherwise).
+
+    For a truncated Normal prefer ``dist.TruncatedNormal`` (specialized
+    sampler)."""
+
+    _params = ("base_dist", "lower", "upper")
+
+    def __init__(self, base_dist, lower=-jnp.inf, upper=jnp.inf):
+        if not hasattr(base_dist, "cdf"):
+            raise ValueError(
+                f"{type(base_dist).__name__} has no cdf; truncation "
+                "needs it")
+        self.base_dist = base_dist
+        self.lower = jnp.asarray(lower)
+        self.upper = jnp.asarray(upper)
+        super().__init__(jax.lax.broadcast_shapes(
+            base_dist.batch_shape, jnp.shape(self.lower),
+            jnp.shape(self.upper)), base_dist.event_shape)
+
+    @property
+    def support(self):
+        return constraints.interval(self.lower, self.upper)
+
+    def _bounds_cdf(self):
+        flo = jnp.where(jnp.isfinite(self.lower),
+                        self.base_dist.cdf(jnp.where(
+                            jnp.isfinite(self.lower), self.lower, 0.0)),
+                        0.0)
+        fhi = jnp.where(jnp.isfinite(self.upper),
+                        self.base_dist.cdf(jnp.where(
+                            jnp.isfinite(self.upper), self.upper, 0.0)),
+                        1.0)
+        return flo, fhi
+
+    def sample(self, key, sample_shape=()):
+        flo, fhi = self._bounds_cdf()
+        shape = self.shape(sample_shape)
+        u = jax.random.uniform(key, shape, jnp.result_type(float),
+                               1e-7, 1.0 - 1e-7)
+        q = flo + u * (fhi - flo)
+        if hasattr(self.base_dist, "icdf"):
+            x = self.base_dist.icdf(q)
+        else:
+            # 60 bisection rounds on the cdf (static under jit)
+            lo = jnp.broadcast_to(jnp.where(jnp.isfinite(self.lower),
+                                            self.lower, -1e10), shape)
+            hi = jnp.broadcast_to(jnp.where(jnp.isfinite(self.upper),
+                                            self.upper, 1e10), shape)
+
+            def body(carry, _):
+                lo, hi = carry
+                mid = 0.5 * (lo + hi)
+                below = self.base_dist.cdf(mid) < q
+                return (jnp.where(below, mid, lo),
+                        jnp.where(below, hi, mid)), None
+
+            (lo, hi), _ = jax.lax.scan(body, (lo, hi), None, length=60)
+            x = 0.5 * (lo + hi)
+        return jnp.clip(x, self.lower, self.upper)
+
+    def log_prob(self, x):
+        flo, fhi = self._bounds_cdf()
+        log_norm = jnp.log(jnp.clip(fhi - flo, 1e-37, 1.0))
+        inside = (x >= self.lower) & (x <= self.upper)
+        return jnp.where(inside,
+                         self.base_dist.log_prob(x) - log_norm, -jnp.inf)

@@ -180,3 +180,52 @@ def test_cdf_icdf_roundtrip():
     for d in cases:
         np.testing.assert_allclose(np.asarray(d.cdf(d.icdf(q))),
                                    np.asarray(q), rtol=1e-5, atol=1e-6)
+
+
+def test_truncated_generic():
+    import scipy.integrate as si
+    d = dist.Truncated(dist.Gamma(2.0, 1.0), lower=1.0, upper=4.0)
+    z = ss.gamma(2).cdf(4) - ss.gamma(2).cdf(1)
+
+    def pdf(t):
+        return ss.gamma(2).pdf(t) / z
+
+    np.testing.assert_allclose(float(d.log_prob(jnp.asarray(2.0))),
+                               np.log(pdf(2.0)), rtol=1e-5)
+    assert float(d.log_prob(jnp.asarray(0.5))) == -np.inf
+    x = np.asarray(d.sample(KEY, (40000,)))
+    assert x.min() >= 1.0 and x.max() <= 4.0
+    m_ref = si.quad(lambda t: t * pdf(t), 1, 4)[0]
+    assert abs(x.mean() - m_ref) < 0.02
+
+
+def test_truncated_icdf_path():
+    # Exponential has icdf -> exact inverse-cdf sampling
+    d = dist.Truncated(dist.Exponential(2.0), upper=1.0)
+    x = np.asarray(d.sample(KEY, (40000,)))
+    assert x.max() <= 1.0
+    z = 1 - np.exp(-2.0)
+    import scipy.integrate as si
+    m_ref = si.quad(lambda t: t * 2 * np.exp(-2 * t) / z, 0, 1)[0]
+    assert abs(x.mean() - m_ref) < 0.01
+
+
+def test_truncated_as_latent_site():
+    from bayesic_tpu.core import sample
+    from bayesic_tpu.infer.mcmc import MCMC
+
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.normal(2.2, 1.0, 100).astype(np.float32))
+
+    def model():
+        # prior truncated to [0, 3]: posterior must respect the bound
+        mu = sample("mu", dist.Truncated(dist.Normal(0.0, 5.0),
+                                         lower=0.0, upper=3.0))
+        sample("obs", dist.Normal(mu, 1.0).expand((100,)).to_event(1),
+               obs=y)
+
+    r = MCMC(model=model, num_warmup=300, num_samples=300,
+             num_chains=4).run(jax.random.PRNGKey(6))
+    mu = np.asarray(r.samples["mu"]).reshape(-1)
+    assert mu.min() >= 0.0 and mu.max() <= 3.0
+    assert abs(mu.mean() - float(y.mean())) < 0.25
