@@ -385,7 +385,89 @@ def build_logjoint(model, *args, **kwargs):
             out[n] = tr[n]["value"]
         return out
 
+    # -- posterior sampling of enumerated sites (infer_discrete) ------------
+    def _index_enum_axis(lp, axis, idx, r_e):
+        """Select the sampled assignment of an earlier site: lp indexed at
+        ``idx`` (the site's natural-shape int array) along its enum axis,
+        keeping the axis with size 1."""
+        if lp.shape[axis] == 1:
+            return lp
+        full_rank = _E + _P
+        idxp = jnp.asarray(idx, jnp.int32).reshape(
+            (1,) * (_E + (_P - r_e)) + jnp.shape(idx))
+        tgt = list(lp.shape)
+        tgt[axis] = 1
+        idxb = jnp.broadcast_to(idxp, tuple(tgt))
+        return jnp.take_along_axis(lp, idxb, axis=axis)
+
+    def sample_enum(uparams, rng_key, model_args=None, model_kwargs=None,
+                    params=None):
+        """Exact joint posterior draw of all enumerated discrete sites given
+        the continuous latents ``uparams`` (NumPyro's ``infer_discrete``):
+        sequential ancestral sampling along the site order, each conditional
+        obtained by indexing already-sampled sites and eliminating the rest.
+        Requires a subsample-free model (conditionals under minibatch
+        scaling are not the true conditionals)."""
+        if not info.enum_sites:
+            return {}
+        if info.subsample_sites:
+            raise ValueError(
+                "sample_enum requires a subsample-free model; rebuild the "
+                "log-joint with full plates to recover discrete sites"
+            )
+        from jax.scipy.special import logsumexp as _lse
+
+        tr, _ = _replay(uparams, rng_key, _enum_assign(), model_args,
+                        model_kwargs, params)
+        base_terms = [(lp, s) for lp, s, _ in _collect_terms(tr, uparams)]
+        out = {}
+        for e, name in enumerate(_enum_names):
+            r_e = len(info.enum_shapes[name])
+            terms = [
+                (lp, s) for lp, s in base_terms
+            ]
+            # index earlier sites at their sampled assignments
+            for e2, n2 in enumerate(_enum_names[:e]):
+                r2 = len(info.enum_shapes[n2])
+                terms = [(_index_enum_axis(lp, e2, out[n2], r2), s)
+                         for lp, s in terms]
+            # eliminate later sites (innermost first), as in _eliminate
+            for f in reversed(range(e + 1, _E)):
+                r_f = len(info.enum_shapes[_enum_names[f]])
+                involved = [t for t in terms if t[0].shape[f] != 1]
+                rest = [t for t in terms if t[0].shape[f] == 1]
+                if not involved:
+                    continue
+                red = tuple(range(_E, _E + _P - r_f))
+                if red:
+                    involved = [(jnp.sum(lp, axis=red, keepdims=True), s)
+                                for lp, s in involved]
+                combined = involved[0][0]
+                for lp, _ in involved[1:]:
+                    combined = combined + lp
+                terms = rest + [(_lse(combined, axis=f, keepdims=True),
+                                 involved[0][1])]
+            # conditional logits over axis e (per plate element for
+            # batched sites); terms not involving e are constants
+            involved = [t for t in terms if t[0].shape[e] != 1]
+            red = tuple(range(_E, _E + _P - r_e))
+            if red:
+                involved = [(jnp.sum(lp, axis=red, keepdims=True), s)
+                            for lp, s in involved]
+            logits = involved[0][0]
+            for lp, _ in involved[1:]:
+                logits = logits + lp
+            # collapse remaining singleton axes: (K_e, *site shape)
+            keep = (e,) + tuple(range(_E + _P - r_e, _E + _P))
+            logits = logits.reshape(
+                tuple(logits.shape[a] for a in keep))
+            logits = jnp.moveaxis(logits, 0, -1)        # (*site shape, K)
+            out[name] = jax.random.categorical(
+                jax.random.fold_in(rng_key, e), logits)
+        return out
+
     logdensity.parts = logdensity_parts
+    logdensity.sample_enum = sample_enum
     return info, logdensity, constrain, postprocess
 
 

@@ -1,5 +1,6 @@
 """Inference backends: SVI, MCMC (HMC/NUTS), SMC (SURVEY.md §2.2)."""
 
+from .discrete import infer_discrete
 from .laplace import Laplace, map_estimate
 from .sgmcmc import SGMCMC, SGMCMCResult
 from .svgd import SVGD, SVGDResult
@@ -7,4 +8,5 @@ from .loglik import log_likelihood
 from .predictive import Predictive
 
 __all__ = ["Laplace", "Predictive", "SGMCMC", "SGMCMCResult", "SVGD",
-           "SVGDResult", "log_likelihood", "map_estimate"]
+           "SVGDResult", "infer_discrete", "log_likelihood",
+           "map_estimate"]
