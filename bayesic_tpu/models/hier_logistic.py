@@ -169,3 +169,34 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def run_svi_fused(cfg: Config, key=None):
+    """Whole-run-in-VMEM Pallas trainer (ops/fused_hier.py): same model,
+    same estimator, one kernel launch for all ``cfg.svi_steps`` steps."""
+    from ..ops import fused_hier as fh
+
+    if (cfg.num_groups, cfg.num_features) != (fh.J, fh.D):
+        raise ValueError(
+            f"fused trainer is specialized to J={fh.J}, D={fh.D}")
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    x, y, group, truth = make_data(cfg)
+    packed = fh.pack_data(x, y, group)
+    perm = jax.random.permutation(jax.random.fold_in(key, 8),
+                                  x.shape[0])
+    packed = packed[perm]
+    seed = int(jax.random.randint(jax.random.fold_in(key, 7), (),
+                                  0, 2**31 - 1))
+    loc, ls = fh.pack_params()
+    loc, ls, opt, losses = fh.fused_train(
+        packed, loc, ls, steps=cfg.svi_steps, lr0=cfg.lr,
+        seed=seed, batch=cfg.batch_size,
+        interpret=jax.default_backend() != "tpu")
+    mean_u, std_u = fh.unpack_stats(loc, ls)
+    return {
+        "packed": packed,
+        "loc": loc, "ls": ls, "opt_state": opt,
+        "mean_u": mean_u, "std_u": std_u,
+        "losses": np.asarray(losses),
+        "truth": truth,
+    }

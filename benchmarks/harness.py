@@ -264,6 +264,51 @@ def run_hier_logistic():
                       cost=roofline.hier_logistic_svi(
                           cfg.batch_size, cfg.num_features, cfg.num_groups))]
 
+    # whole-run-in-VMEM fused Pallas trainer (ops/fused_hier.py) on the
+    # SAME workload: one kernel launch per rep
+    if jax.default_backend() == "tpu":
+        from bayesic_tpu.ops import fused_hier as fh
+
+        steps_f = _steps(100_000)
+        packed = fh.pack_data(x, y, group)
+        packed = packed[jax.random.permutation(jax.random.PRNGKey(8),
+                                               x.shape[0])]
+        loc0, ls0 = fh.pack_params()
+        zz = jnp.zeros((1, 128), jnp.float32)
+        holder_f = {"loc": loc0, "ls": ls0,
+                    "opt": (zz, zz, zz, zz), "t0": 0}
+
+        def fused_call(seed):
+            loc, ls, opt, losses = fh.fused_train(
+                packed, holder_f["loc"], holder_f["ls"], holder_f["opt"],
+                steps=steps_f, lr0=cfg.lr, lr_total=steps_f, seed=seed,
+                batch=cfg.batch_size, t0=holder_f["t0"])
+            holder_f.update(loc=loc, ls=ls, opt=opt,
+                            t0=holder_f["t0"] + steps_f)
+            return losses
+
+        _force(fused_call(1))
+
+        def rep_f(i):
+            t0 = time.perf_counter()
+            losses = fused_call(2 + i)
+            _force(losses)
+            _force(holder_f["loc"])
+            holder_f["last_loss"] = float(losses[-1])
+            return time.perf_counter() - t0
+
+        med, spread, times_f = _median_protocol(rep_f)
+        rate = steps_f / med / jax.device_count()
+        rec_f = _record("hier_logistic_fused", "elbo_steps_per_s_per_chip",
+                        rate, "steps/s/chip", steps=steps_f,
+                        reps=len(times_f), spread=round(spread, 4),
+                        final_loss=holder_f["last_loss"])
+        roofline.annotate(rec_f, *roofline.hier_logistic_svi(
+            cfg.batch_size, cfg.num_features, cfg.num_groups),
+            steps_per_s=rate * jax.device_count(),
+            platform=jax.default_backend())
+        recs.append(rec_f)
+
     # Full-batch NUTS, CENTERED parameterization (data-dominated regime —
     # the round-1 non-centered form mixed at min-ESS 64/25,600; see
     # hl.make_model docstring for the measured comparison).  Long warmup is
