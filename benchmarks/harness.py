@@ -242,9 +242,50 @@ def run_linreg():
     x, y, *_ = linreg.make_data(cfg)
     svi = SVI(linreg.model, MeanFieldGuide, optax.adam(0.05),
               model_args=(x, y, cfg.noise))
-    return [bench_svi("linreg", svi, jax.random.PRNGKey(0), 20_000,
+    recs = [bench_svi("linreg", svi, jax.random.PRNGKey(0), 20_000,
                       model_args=(x, y, cfg.noise),
                       cost=roofline.linreg_svi(cfg.n, cfg.dim))]
+
+    # whole-run fused Pallas trainer (ops/fused_linreg.py): exact Gram
+    # sufficient statistics, one launch per rep
+    if jax.default_backend() == "tpu":
+        from bayesic_tpu.ops import fused_linreg as fl
+
+        steps_f = _steps(500_000)
+        packed = fl.pack_data(x, y)
+        loc0, ls0 = fl.pack_params(cfg.dim)
+        zz = jnp.zeros((1, 128), jnp.float32)
+        holder_f = {"loc": loc0, "ls": ls0,
+                    "opt": (zz, zz, zz, zz), "t0": 0}
+
+        def fused_call(seed):
+            loc, ls, opt, losses = fl.fused_train(
+                packed, cfg.dim, cfg.noise, holder_f["loc"],
+                holder_f["ls"], holder_f["opt"], steps=steps_f,
+                lr0=cfg.lr, lr_total=steps_f, seed=seed,
+                t0=holder_f["t0"])
+            holder_f.update(loc=loc, ls=ls, opt=opt,
+                            t0=holder_f["t0"] + steps_f)
+            return losses
+
+        _force(fused_call(1))
+
+        def rep_f(i):
+            t0 = time.perf_counter()
+            losses = fused_call(2 + i)
+            _force(losses)
+            _force(holder_f["loc"])
+            holder_f["last_loss"] = float(losses[-1])
+            return time.perf_counter() - t0
+
+        med, spread, times_f = _median_protocol(rep_f)
+        rate = steps_f / med / jax.device_count()
+        recs.append(_record(
+            "linreg_fused", "elbo_steps_per_s_per_chip", rate,
+            "steps/s/chip", steps=steps_f, reps=len(times_f),
+            spread=round(spread, 4), sufficient_stats=True,
+            final_loss=holder_f["last_loss"]))
+    return recs
 
 
 def run_hier_logistic():
