@@ -1,3 +1,4 @@
-"""The five reference example models (SURVEY.md C16-C20, BASELINE configs)."""
+"""The five reference example models (SURVEY.md C16-C20, BASELINE
+configs) plus the round-2 GP regression example."""
 
-from . import dlgm, gmm, hier_logistic, linreg, matrix_fact  # noqa: F401
+from . import dlgm, gmm, gp, hier_logistic, linreg, matrix_fact  # noqa: F401
