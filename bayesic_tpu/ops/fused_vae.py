@@ -73,15 +73,28 @@ def leaf_shapes(dims: FusedVAEDims):
 # reference — one source of truth for forward+backward)
 # ---------------------------------------------------------------------------
 
-def _step_math(params, xb, eps, scale):
+def _step_math(params, xb, eps, scale, mm_dtype=jnp.float32):
     """One STL ELBO step on a gathered batch.  Returns (elbo, grads) where
-    grads[k] = d elbo / d params[k] (ascent direction), all hand-derived."""
+    grads[k] = d elbo / d params[k] (ascent direction), all hand-derived.
+
+    ``mm_dtype=jnp.bfloat16`` casts matmul OPERANDS only (f32 accumulate,
+    f32 master params/elementwise math everywhere) — the standard
+    mixed-precision recipe for MXU-bound kernels.  Measured note
+    (2026-08-17): on terminals compiled with
+    ``--xla_allow_excess_precision=true`` (this TPU relay) the compiler
+    legally folds the f32->bf16 operand casts away — results and speed
+    come out bit-identical to f32, so the knob only pays off on
+    deployments without that flag."""
     (w1e, b1e, wmu, bmu, wsig, bsig, w1d, b1d, w2d, b2d, usig) = params
     dot = functools.partial(
         jax.lax.dot_general, preferred_element_type=jnp.float32)
-    mm = lambda a, b: dot(a, b, (((1,), (0,)), ((), ())))        # noqa: E731
-    mm_tn = lambda a, b: dot(a, b, (((0,), (0,)), ((), ())))     # noqa: E731
-    mm_nt = lambda a, b: dot(a, b, (((1,), (1,)), ((), ())))     # noqa: E731
+    cv = lambda a: a.astype(mm_dtype)                            # noqa: E731
+    mm = lambda a, b: dot(cv(a), cv(b),                          # noqa: E731
+                          (((1,), (0,)), ((), ())))
+    mm_tn = lambda a, b: dot(cv(a), cv(b),                       # noqa: E731
+                             (((0,), (0,)), ((), ())))
+    mm_nt = lambda a, b: dot(cv(a), cv(b),                       # noqa: E731
+                             (((1,), (1,)), ((), ())))
     csum = lambda a: jnp.sum(a, axis=0, keepdims=True)           # noqa: E731
 
     # forward
@@ -204,7 +217,7 @@ def _gather_loop(x_ref, idx_scr, xb_scr, dims):
 # ---------------------------------------------------------------------------
 
 def _train_kernel(seed_ref, t0_ref, x_ref, *refs, dims, steps, lr,
-                  gather, chunk):
+                  gather, chunk, mm_dtype):
     """refs = 33 param/m/v input refs, then (losses_ref, 33 out refs),
     then scratch (idx_scr, xb_scr[, dma_sem])."""
     from jax.experimental import pallas as pl
@@ -254,7 +267,8 @@ def _train_kernel(seed_ref, t0_ref, x_ref, *refs, dims, steps, lr,
             else:
                 xb = _gather_onehot(x_ref, idx, dims, chunk)
         eps = _normal((dims.b, dims.z))
-        elbo, grads = _step_math(params, xb, eps, scale)
+        elbo, grads = _step_math(params, xb, eps, scale,
+                                 mm_dtype=mm_dtype)
         t = (t0_ref[0] + i + 1).astype(jnp.float32)
         params, m, v = _adam(params, m, v, grads, t, lr)
         losses_ref[pl.ds(i, 1), :] = (-elbo).reshape(1, 1)
@@ -274,7 +288,8 @@ def _flatten(tree):
 
 
 def fused_train(x, params, m, v, *, steps, lr, seed, batch=256, t0=0,
-                gather="onehot", chunk=1000, interpret=False):
+                gather="onehot", chunk=1000, compute_dtype="float32",
+                interpret=False):
     """Run `steps` fused DLGM ELBO steps entirely on-chip.
 
     x (N,D) f32; params/m/v: dicts over LEAVES (see leaf_shapes);
@@ -318,21 +333,26 @@ def fused_train(x, params, m, v, *, steps, lr, seed, batch=256, t0=0,
     return _fused_train(x, tuple(_flatten(params)), tuple(_flatten(m)),
                         tuple(_flatten(v)), dims=dims, steps=int(steps),
                         lr=float(lr), seed=seed, t0=t0, gather=gather,
-                        chunk=int(chunk), interpret=bool(interpret))
+                        chunk=int(chunk), compute_dtype=str(compute_dtype),
+                        interpret=bool(interpret))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "steps", "lr", "gather", "chunk", "interpret"),
+    static_argnames=("dims", "steps", "lr", "gather", "chunk",
+                     "compute_dtype", "interpret"),
 )
 def _fused_train(x, params, m, v, *, dims, steps, lr, seed, t0, gather,
-                 chunk, interpret):
+                 chunk, compute_dtype, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_leaf = len(LEAVES)
-    kernel = functools.partial(_train_kernel, dims=dims, steps=steps,
-                               lr=lr, gather=gather, chunk=chunk)
+    kernel = functools.partial(
+        _train_kernel, dims=dims, steps=steps, lr=lr, gather=gather,
+        chunk=chunk,
+        mm_dtype=jnp.bfloat16 if compute_dtype == "bfloat16"
+        else jnp.float32)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
               for p in params]
