@@ -419,7 +419,11 @@ def build_logjoint(model, *args, **kwargs):
 
         tr, _ = _replay(uparams, rng_key, _enum_assign(), model_args,
                         model_kwargs, params)
-        base_terms = [(lp, s) for lp, s, _ in _collect_terms(tr, uparams)]
+        # apply each term's scale up front (handlers.scale tempering must
+        # temper the conditionals exactly as it tempers the density); the
+        # subsample-free guard above means no N/B plate scales remain
+        base_terms = [(lp * s, 1.0)
+                      for lp, s, _ in _collect_terms(tr, uparams)]
         out = {}
         for e, name in enumerate(_enum_names):
             r_e = len(info.enum_shapes[name])

@@ -53,10 +53,11 @@ class HiddenMarkovModel(Distribution):
                 f"transition_logits must be ({k}, {k}), got "
                 f"{transition_logits.shape}"
             )
-        if observation_dist.batch_shape[-1:] != (k,):
+        if observation_dist.batch_shape != (k,):
             raise ValueError(
                 f"observation_dist batch shape {observation_dist.batch_shape}"
-                f" must end with the state dim ({k},)"
+                f" must be exactly ({k},) — one emission law per state; "
+                "extra leading batch dims are not supported (vmap instead)"
             )
         self.initial_logits = initial_logits
         self.transition_logits = transition_logits

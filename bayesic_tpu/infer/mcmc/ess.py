@@ -141,16 +141,20 @@ class EllipticalSlice:
             q0 = jax.device_put(q0, self.chain_sharding)
 
         if not hasattr(self, "_run_fn"):
-            def sweep(carry, t):
-                q, ll = carry
-                keys = jax.vmap(
-                    lambda c: jax.random.fold_in(
-                        jax.random.fold_in(key_run, t), c)
-                )(jnp.arange(self.num_chains))
-                q, ll, iters = jax.vmap(self._transition)(keys, q, ll)
-                return (q, ll), (q, iters)
-
             def run_all(kr, q0):
+                # kr must thread through the scans as a traced value: a
+                # closed-over key would be baked into the cached compiled
+                # program, silently freezing the randomness of every later
+                # run() on this instance
+                def sweep(carry, t):
+                    q, ll = carry
+                    keys = jax.vmap(
+                        lambda c: jax.random.fold_in(
+                            jax.random.fold_in(kr, t), c)
+                    )(jnp.arange(self.num_chains))
+                    q, ll, iters = jax.vmap(self._transition)(keys, q, ll)
+                    return (q, ll), (q, iters)
+
                 ll0 = jax.vmap(self._loglik)(q0)
                 carry, _ = lax.scan(sweep, (q0, ll0),
                                     jnp.arange(self.num_burnin))

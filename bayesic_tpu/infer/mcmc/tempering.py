@@ -35,6 +35,8 @@ chips.
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple
 
 import jax
@@ -119,6 +121,18 @@ class ParallelTempering:
         self.betas = (jnp.asarray(betas, jnp.float32) if betas is not None
                       else geometric_ladder(num_replicas, beta_min))
         self.K = int(self.betas.shape[0])
+        if betas is not None:
+            b = np.asarray(self.betas)
+            # samples come from replica index 0: the ladder must be
+            # NON-INCREASING from the cold rung beta=1 (an ascending
+            # ladder would silently return near-prior draws as
+            # "posterior"; a flat all-1 ladder is legal for testing)
+            if abs(float(b[0]) - 1.0) > 1e-6 or np.any(np.diff(b) > 0):
+                raise ValueError(
+                    "betas must descend from 1.0 (cold rung first), e.g. "
+                    "concatenate([geometric_ladder(K-1), zeros(1)]); got "
+                    f"{b.tolist()}"
+                )
 
         info, logdensity, constrain_fn, _ = build_logjoint(
             model, *model_args, **(model_kwargs or {})
@@ -249,14 +263,16 @@ class ParallelTempering:
             in_slow = jnp.asarray(in_slow)
             window_end = jnp.asarray(window_end)
 
-            def warm_step(carry, t):
+            def warm_step(kr, carry, t):
+                # kr threads in as a traced value — a closed-over key
+                # would be baked into the cached compiled program,
+                # freezing later runs' randomness
                 state, da, wf, inv_mass = carry
-                kt = jax.random.fold_in(
-                    jax.random.fold_in(key_run, 0), t)
+                kt = jax.random.fold_in(jax.random.fold_in(kr, 0), t)
                 k_hmc, k_swap = jax.random.split(kt)
                 eps_k = jnp.exp(da.log_step)              # (K,)
                 state, acc = self._transition_all(
-                    kt, state, eps_k, inv_mass)
+                    k_hmc, state, eps_k, inv_mass)
                 state, _ = self._swap(k_swap, state, t % 2)
                 da = jax.vmap(
                     lambda d, a: da_update(d, a, target=self.target_accept)
@@ -281,13 +297,12 @@ class ParallelTempering:
                     da_reset, da)
                 return (state, da, wf, inv_mass), None
 
-            def sample_step(carry, t):
+            def sample_step(kr, carry, t):
                 state, eps_k, inv_mass = carry
-                kt = jax.random.fold_in(
-                    jax.random.fold_in(key_run, 1), t)
+                kt = jax.random.fold_in(jax.random.fold_in(kr, 1), t)
                 k_hmc, k_swap = jax.random.split(kt)
                 state, acc = self._transition_all(
-                    kt, state, eps_k, inv_mass)
+                    k_hmc, state, eps_k, inv_mass)
                 state, pair_acc = self._swap(k_swap, state, t % 2)
                 return ((state, eps_k, inv_mass),
                         (state.q[:, 0, :], jnp.mean(acc, 0),
@@ -302,11 +317,12 @@ class ParallelTempering:
                 )(jnp.arange(self.K))
                 inv0 = jnp.ones((self.K, self.dim))
                 (state, da, _, inv_mass), _ = lax.scan(
-                    warm_step, (s0, da0, wf0, inv0),
-                    jnp.arange(self.num_warmup))
+                    functools.partial(warm_step, kr),
+                    (s0, da0, wf0, inv0), jnp.arange(self.num_warmup))
                 eps_k = jnp.exp(da.log_step_avg)
                 _, (qs, accs, swaps, lls) = lax.scan(
-                    sample_step, (state, eps_k, inv_mass),
+                    functools.partial(sample_step, kr),
+                    (state, eps_k, inv_mass),
                     jnp.arange(self.num_samples))
                 return qs, accs, swaps, lls, eps_k
 

@@ -20,6 +20,8 @@ one chip; shard over the mesh's particle axis if N grows past that).
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple
 
 import jax
@@ -93,9 +95,11 @@ class SVGD:
         opt0 = self.optimizer.init(x0)
 
         if not hasattr(self, "_run_fn"):
-            def step(carry, t):
+            def step(kr, carry, t):
+                # kr threads as a traced value (a closed-over key would be
+                # baked into the cached compiled program)
                 x, opt = carry
-                kb = jax.random.fold_in(key_run, t)
+                kb = jax.random.fold_in(kr, t)
                 grads = jax.vmap(
                     lambda q, i: self._grad_logp(
                         q, jax.random.fold_in(kb, i))
@@ -107,14 +111,15 @@ class SVGD:
                 x = optax.apply_updates(x, updates)
                 return (x, opt), (jnp.sqrt(jnp.mean(phi * phi)), h)
 
-            def run_all(x0, opt0):
+            def run_all(kr, x0, opt0):
                 (x, _), (phin, hs) = lax.scan(
-                    step, (x0, opt0), jnp.arange(self.num_steps))
+                    functools.partial(step, kr), (x0, opt0),
+                    jnp.arange(self.num_steps))
                 return x, phin, hs
 
             self._run_fn = jax.jit(run_all)
 
-        x, phin, hs = self._run_fn(x0, opt0)
+        x, phin, hs = self._run_fn(key_run, x0, opt0)
         cons = jax.vmap(self._constrain)(x)
         return SVGDResult(cons, x, {"phi_norm": phin,
                                     "bandwidth": hs[-1]})

@@ -44,6 +44,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ._kernel_common import (adam_leaf, kernel_normal as _normal,
+                             kernel_uniform as _uniform)
+
 _C = 0.5 * float(np.log(2.0 * np.pi))
 
 D = 5          # features
@@ -168,14 +171,7 @@ def _step_math(loc, ls, xb, eps, scale):
     return elbo, g_loc, g_ls
 
 
-def _adam(p, m, v, g, t, lr, b1=0.9, b2=0.999, eps=1e-8):
-    bc1 = 1.0 - jnp.exp(t * float(np.log(b1)))
-    bc2 = 1.0 - jnp.exp(t * float(np.log(b2)))
-    g = -g
-    m = b1 * m + (1.0 - b1) * g
-    v = b2 * v + (1.0 - b2) * g * g
-    upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-    return p - lr * upd, m, v
+_adam = adam_leaf
 
 
 def _lr_at(t, lr0, total):
@@ -185,20 +181,6 @@ def _lr_at(t, lr0, total):
 
 
 # ---------------------------------------------------------------------------
-
-def _uniform(shape):
-    from jax.experimental.pallas import tpu as pltpu
-
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (
-        1.0 / (1 << 24))
-
-
-def _normal(shape):
-    u1 = jnp.maximum(_uniform(shape), 1e-7)
-    u2 = _uniform(shape)
-    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * np.pi) * u2)
-
 
 def _train_kernel(seed_ref, t0_ref, x_ref, loc_ref, ls_ref,
                   m1_ref, m2_ref, v1_ref, v2_ref,

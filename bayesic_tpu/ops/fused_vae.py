@@ -43,6 +43,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ._kernel_common import (adam_leaf, kernel_normal as _normal,
+                             kernel_uniform as _uniform)
+
 _C = 0.5 * float(np.log(2.0 * np.pi))
 
 # parameter leaf order, fixed — every leaf rank-2 (Mosaic cannot reshape
@@ -143,42 +146,18 @@ def _step_math(params, xb, eps, scale, mm_dtype=jnp.float32):
     return elbo, grads
 
 
-def _adam(params, m, v, grads, t, lr, b1=0.9, b2=0.999, eps=1e-8):
-    """optax.adam on loss = -elbo (grads are d elbo, so descend on -g)."""
-    # b^t as exp(t ln b): Mosaic has no powf lowering
-    bc1 = 1.0 - jnp.exp(t * float(np.log(b1)))
-    bc2 = 1.0 - jnp.exp(t * float(np.log(b2)))
-    new_p, new_m, new_v = [], [], []
-    for p, mm_, vv_, g in zip(params, m, v, grads):
-        g = -g
-        mm_ = b1 * mm_ + (1.0 - b1) * g
-        vv_ = b2 * vv_ + (1.0 - b2) * g * g
-        upd = (mm_ / bc1) / (jnp.sqrt(vv_ / bc2) + eps)
-        new_p.append(p - lr * upd)
-        new_m.append(mm_)
-        new_v.append(vv_)
-    return tuple(new_p), tuple(new_m), tuple(new_v)
+def _adam(params, m, v, grads, t, lr):
+    """optax.adam over all leaves (adam_leaf is the shared single-leaf
+    update in ops/_kernel_common.py)."""
+    out = [adam_leaf(p, mm_, vv_, g, t, lr)
+           for p, mm_, vv_, g in zip(params, m, v, grads)]
+    return (tuple(o[0] for o in out), tuple(o[1] for o in out),
+            tuple(o[2] for o in out))
 
 
 # ---------------------------------------------------------------------------
 # in-kernel RNG + gather
 # ---------------------------------------------------------------------------
-
-def _uniform(shape):
-    from jax.experimental.pallas import tpu as pltpu
-
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) * (
-        1.0 / (1 << 24))
-
-
-def _normal(shape):
-    """Box-Muller from two uniform draws (u1 kept off zero)."""
-    u1 = jnp.maximum(_uniform(shape), 1e-7)
-    u2 = _uniform(shape)
-    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
-        (2.0 * np.pi) * u2)
-
 
 def _gather_onehot(x_ref, idx, dims, chunk):
     """xb[i] = x[idx[i]] via chunked one-hot matmuls (MXU; no scalar loop).

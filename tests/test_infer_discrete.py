@@ -87,3 +87,36 @@ def test_two_scalar_sites_joint_conditional():
         for bi in range(2):
             emp[ai, bi] = ((a == ai) & (b == bi)).mean()
     np.testing.assert_allclose(emp, pj, atol=0.03)
+
+
+def test_sample_enum_honors_scale_handler():
+    """handlers.scale tempering must temper the discrete conditionals
+    exactly as it tempers the density (r2 code-review finding)."""
+    from bayesic_tpu.core import handlers
+    from bayesic_tpu.core.logjoint import build_logjoint
+
+    x_obs = 0.8
+    c = 0.3
+
+    def model():
+        z = sample("z", dist.Categorical(logits=jnp.zeros(2)),
+                   infer={"enumerate": True})
+        sample("obs", dist.Normal(z * 2.0, 1.0), obs=jnp.asarray(x_obs))
+
+    scaled = handlers.scale(model, factor=c)
+    _, logdensity, _, _ = build_logjoint(scaled)
+    S = 20000
+    draws = np.asarray(jax.vmap(
+        lambda k: logdensity.sample_enum({}, k)["z"]
+    )(jax.random.split(jax.random.PRNGKey(0), S)))
+
+    # tempered conditional: p(z) ∝ exp(c * [log pi_z + log N(x; 2z, 1)])
+    lp = np.array([np.log(0.5) - 0.5 * (x_obs - 0.0) ** 2,
+                   np.log(0.5) - 0.5 * (x_obs - 2.0) ** 2]) * c
+    p1 = 1.0 / (1.0 + np.exp(lp[0] - lp[1]))
+    assert abs(draws.mean() - p1) < 0.015
+    # and it must DIFFER from the unscaled conditional (sanity)
+    lp_u = np.array([np.log(0.5) - 0.5 * (x_obs - 0.0) ** 2,
+                     np.log(0.5) - 0.5 * (x_obs - 2.0) ** 2])
+    p1_u = 1.0 / (1.0 + np.exp(lp_u[0] - lp_u[1]))
+    assert abs(p1 - p1_u) > 0.05

@@ -53,7 +53,7 @@ def test_pt_sharded_matches_unsharded():
                           **kw).run(jax.random.PRNGKey(1))
     np.testing.assert_allclose(np.asarray(a.unconstrained),
                                np.asarray(b.unconstrained),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-2, atol=5e-3)
 
     # long-run distributional agreement on the posterior mean/std
     kw = dict(num_replicas=4, num_warmup=200, num_samples=400,
@@ -82,3 +82,35 @@ def test_ess_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(a.unconstrained),
                                np.asarray(b.unconstrained),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_cached_programs_honor_fresh_keys():
+    """Regression (r2 code review): the cached jitted run programs must
+    thread the PRNG key as a traced argument — a closed-over key gets
+    baked into the compiled program, silently freezing all later runs."""
+    from bayesic_tpu.infer.mcmc import ParallelTempering
+    from bayesic_tpu.infer.mcmc.ess import EllipticalSlice
+    from bayesic_tpu.infer.svgd import SVGD
+
+    def gauss():
+        z = sample("z", dist.Normal(0.0, 1.0))
+        sample("obs", dist.Normal(2.0 * z, 1.0).expand((3,)).to_event(1),
+               obs=jnp.asarray([0.7, 1.1, -0.2]))
+
+    for make, get in [
+        (lambda: EllipticalSlice(gauss, num_samples=40, num_burnin=10,
+                                 num_chains=2),
+         lambda r: np.asarray(r.unconstrained)),
+        (lambda: ParallelTempering(gauss, num_replicas=2, num_warmup=10,
+                                   num_samples=20, num_chains=2,
+                                   num_leapfrog=3),
+         lambda r: np.asarray(r.unconstrained)),
+        (lambda: SVGD(gauss, num_particles=16, num_steps=30),
+         lambda r: np.asarray(r.unconstrained)),
+    ]:
+        inst = make()
+        first = get(inst.run(jax.random.PRNGKey(0)))
+        second = get(inst.run(jax.random.PRNGKey(1)))   # cached program
+        fresh = get(make().run(jax.random.PRNGKey(1)))  # fresh instance
+        assert not np.allclose(first, second)           # keys differ
+        np.testing.assert_allclose(second, fresh, rtol=1e-5, atol=1e-6)
