@@ -43,7 +43,9 @@ class ModelInfo(NamedTuple):
     param_transforms: dict    # param name -> Transform
     param_init: dict          # param name -> unconstrained init value
     enum_sites: dict          # enumerated discrete site -> support size
-    enum_shapes: dict = {}    # enumerated site -> natural (non-enum) shape
+    # NOTE: no mutable {} default — a class-level dict would be shared
+    # across every instance constructed without the field
+    enum_shapes: dict = None  # enumerated site -> natural (non-enum) shape
     enum_pad: int = 0         # max natural value rank across all sites (P)
 
     @property
@@ -265,20 +267,44 @@ def build_logjoint(model, *args, **kwargs):
                 terms.append((pad(lp), site["scale"], True))
         return terms
 
+    # Elimination ORDER matters when scalar and plate-local sites
+    # interact: a scalar site's elimination sums the plate axes, so any
+    # still-live plate-local axis would be coupled across elements
+    # (confirmed wrong vs brute force).  Eliminate plate-local sites
+    # (higher natural rank) FIRST — their per-element marginals then sum
+    # correctly under later scalar eliminations.
+    _elim_order = sorted(
+        range(_E),
+        key=lambda i: (-len(info.enum_shapes[_enum_names[i]]), -i),
+    )
+
+    def _check_no_cross_plate(involved, e):
+        r_e = len(info.enum_shapes[_enum_names[e]])
+        for lp, *_ in involved:
+            for f in range(_E):
+                if f != e and lp.shape[f] != 1                         and len(info.enum_shapes[_enum_names[f]]) > 0                         and r_e != len(info.enum_shapes[_enum_names[f]]):
+                    raise ValueError(
+                        "enumerated plate-local sites interacting across "
+                        "plates of different ranks are unsupported "
+                        f"({_enum_names[e]!r} with {_enum_names[f]!r})"
+                    )
+
     def _eliminate(terms):
         """Marginalise the enum axes by vectorized variable elimination:
-        for each enum axis (innermost first), sum the involved terms'
-        natural dims down to the site's own plate dims, add them
-        elementwise, and logsumexp the axis away.  K scalar sites cost K
-        eliminations of one K-vector each — not K^n replays."""
+        for each enum axis (plate-local sites first — see _elim_order),
+        sum the involved terms' natural dims down to the site's own plate
+        dims, add them elementwise, and logsumexp the axis away.  K
+        scalar sites cost K eliminations of one K-vector each — not K^n
+        replays."""
         from jax.scipy.special import logsumexp as _lse
 
         terms = list(terms)
-        for e in reversed(range(_E)):
+        for e in _elim_order:
             r_e = len(info.enum_shapes[_enum_names[e]])
             involved = [t for t in terms if t[0].shape[e] != 1]
             if not involved:
                 continue
+            _check_no_cross_plate(involved, e)
             rest = [t for t in terms if t[0].shape[e] == 1]
             # reduce natural axes to the left of the site's (right-aligned)
             # plate dims — they belong to independent plates and sum freely
@@ -378,8 +404,11 @@ def build_logjoint(model, *args, **kwargs):
             for n in info.latent_names
         }
 
-    def postprocess(uparams, rng_key=None):
-        tr, values = _replay(uparams, rng_key, None)
+    def postprocess(uparams, rng_key=None, params=None):
+        """``params``: unconstrained values for learnable `param` sites —
+        without them, deterministic sites downstream of a trained param
+        would be recomputed from the INIT values (r2 review finding)."""
+        tr, values = _replay(uparams, rng_key, None, params=params)
         out = dict(values)
         for n in info.deterministic_names:
             out[n] = tr[n]["value"]
@@ -425,18 +454,22 @@ def build_logjoint(model, *args, **kwargs):
         base_terms = [(lp * s, 1.0)
                       for lp, s, _ in _collect_terms(tr, uparams)]
         out = {}
-        for e, name in enumerate(_enum_names):
+        # sample in the elimination order (plate-local first) so each
+        # conditional's marginalisation of remaining sites is exact
+        for pos, e in enumerate(_elim_order):
+            name = _enum_names[e]
             r_e = len(info.enum_shapes[name])
             terms = [
                 (lp, s) for lp, s in base_terms
             ]
-            # index earlier sites at their sampled assignments
-            for e2, n2 in enumerate(_enum_names[:e]):
+            # index already-sampled sites at their sampled assignments
+            for e2 in _elim_order[:pos]:
+                n2 = _enum_names[e2]
                 r2 = len(info.enum_shapes[n2])
                 terms = [(_index_enum_axis(lp, e2, out[n2], r2), s)
                          for lp, s in terms]
-            # eliminate later sites (innermost first), as in _eliminate
-            for f in reversed(range(e + 1, _E)):
+            # eliminate not-yet-sampled sites, same order as _eliminate
+            for f in _elim_order[pos + 1:]:
                 r_f = len(info.enum_shapes[_enum_names[f]])
                 involved = [t for t in terms if t[0].shape[f] != 1]
                 rest = [t for t in terms if t[0].shape[f] == 1]

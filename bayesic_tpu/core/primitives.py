@@ -163,6 +163,13 @@ class plate:
         self.subsample_size = (
             None if subsample_size is None else int(subsample_size)
         )
+        if dim not in (None, -1):
+            # silently ignoring NumPyro-style dim placement would let
+            # models rely on axis positioning that never happens
+            raise NotImplementedError(
+                "plate(dim=...) is not supported; batch dims are "
+                "right-aligned (the dim=-1 convention)"
+            )
         self.dim = dim
         self.replacement = replacement
         self.indices = None
@@ -174,12 +181,18 @@ class plate:
         return self.size / self.subsample_size
 
     def __enter__(self):
-        msg = _new_msg(
-            "subsample", self.name + "__idx", size=self.size,
-            subsample_size=self.subsample_size, replacement=self.replacement,
-        )
-        apply_stack(msg)
-        self.indices = msg["value"]
+        if self.indices is None:
+            # first entry emits the (substitutable) index site; re-entry
+            # reuses the SAME indices so a plate object used as a context
+            # manager twice sees one consistent mini-batch (and the trace
+            # does not hit a duplicate-site error)
+            msg = _new_msg(
+                "subsample", self.name + "__idx", size=self.size,
+                subsample_size=self.subsample_size,
+                replacement=self.replacement,
+            )
+            apply_stack(msg)
+            self.indices = msg["value"]
         HANDLER_STACK.append(self)
         return self.indices
 

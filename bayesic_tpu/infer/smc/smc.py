@@ -117,6 +117,13 @@ class SMC:
             _, ll = parts(self._unravel(q))
             return ll
 
+        def parts_flat(q):
+            # ONE replay for both parts — the default HMC potential below
+            # would otherwise trace two full model replays per evaluation
+            # (r2 review finding)
+            return parts(self._unravel(q))
+
+        self._parts_batched = jax.vmap(parts_flat)
         self._logprior = jax.vmap(logprior_flat)
         # fused value+grad of the prior for the kernelized mutation path
         self._logprior_vg = jax.vmap(jax.value_and_grad(logprior_flat))
@@ -126,7 +133,11 @@ class SMC:
             # vmap-of-replay on the data-heavy term.
             self._loglik = batched_loglik
         else:
-            self._loglik = jax.vmap(loglik_flat)
+            def _ll_only(qs):
+                return self._parts_batched(qs)[1]
+
+            _ll_only._is_default = True
+            self._loglik = _ll_only
         # Hand-fused value+gradient (SURVEY.md C14a, e.g. gmm_loglik_grad):
         # qs (P, dim) -> ((P,), (P, dim)) — one kernel launch per leapfrog
         # gradient instead of a traced fwd+bwd pair.
@@ -199,9 +210,18 @@ class SMC:
                 lp, glp = self._logprior_vg(qs)
                 ll, gll = self._loglik_vg(qs)
                 return -(lp + b * ll), -(glp + b * gll)
-            pe, vjp = jax.vjp(
-                lambda x: -(self._logprior(x) + b * self._loglik(x)), qs
-            )
+            if not getattr(self._loglik, "_is_default", False):
+                # hand-fused batched likelihood present: keep the split
+                pe, vjp = jax.vjp(
+                    lambda x: -(self._logprior(x) + b * self._loglik(x)),
+                    qs,
+                )
+            else:
+                def neg_tempered(x):
+                    lp, ll = self._parts_batched(x)
+                    return -(lp + b * ll)
+
+                pe, vjp = jax.vjp(neg_tempered, qs)
             (g,) = vjp(jnp.ones_like(pe))
             return pe, g
 
@@ -214,17 +234,20 @@ class SMC:
             h0 = pe0 + 0.5 * jnp.sum(p0 * p0 * m_inv, -1)
 
             def leap(_, s):
-                qq, pp, gg = s
+                qq, pp, gg, _pe = s
                 pp = pp - 0.5 * step_size * gg          # half kick
                 qq = qq + step_size * m_inv * pp        # drift
-                _, gg = pe_and_grad(qq, beta)
+                pe_new, gg = pe_and_grad(qq, beta)
                 pp = pp - 0.5 * step_size * gg          # half kick
-                return qq, pp, gg
+                return qq, pp, gg, pe_new
 
-            qe, pe_, _ = lax.fori_loop(
-                0, self.leapfrog_steps, leap, (qs, p0, g0)
+            # the last leap iteration already evaluated the potential at
+            # qe — carry it instead of a redundant extra evaluation per
+            # transition (r2 review finding: ~17% of the mutation's
+            # density evaluations at leapfrog_steps=5)
+            qe, pe_, _, pe1 = lax.fori_loop(
+                0, self.leapfrog_steps, leap, (qs, p0, g0, pe0)
             )
-            pe1, _ = pe_and_grad(qe, beta)
             h1 = pe1 + 0.5 * jnp.sum(pe_ * pe_ * m_inv, -1)
             delta = jnp.where(jnp.isnan(h1 - h0), jnp.inf, h1 - h0)
             a = jnp.minimum(1.0, jnp.exp(-delta))                 # (P,)

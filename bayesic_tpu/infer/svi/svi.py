@@ -61,6 +61,7 @@ class SVI:
             stl=stl, info=self.info, iwae=iwae, dreg=dreg,
         )
         self.grad_transform = grad_transform
+        self.iwae, self.dreg = bool(iwae), bool(dreg)
         self._model_args = model_args
         self._model_kwargs = model_kwargs
 

@@ -47,6 +47,12 @@ def dp_svi_run(svi, mesh, key, sharded_args, num_steps, axis="data",
     reduction order (tested in tests/test_sharding.py).
     """
     n_shards = mesh.shape[axis]
+    if getattr(svi, "iwae", False) or getattr(svi, "dreg", False):
+        raise ValueError(
+            "dp_svi_run implements the plain (stl) ELBO only; an SVI "
+            "configured with iwae/dreg would silently train a different "
+            "objective here — use the auto-SPMD path instead"
+        )
     if state is None:
         state = svi.init(key)
 
@@ -75,6 +81,8 @@ def dp_svi_run(svi, mesh, key, sharded_args, num_steps, axis="data",
             st.params, key_q, local_args
         )
         grads = jax.lax.psum(grads, axis)
+        if svi.grad_transform is not None:
+            grads = svi.grad_transform(grads)
         loss = jax.lax.psum(loss, axis)
         updates, opt_state = svi.optimizer.update(
             grads, st.opt_state, st.params

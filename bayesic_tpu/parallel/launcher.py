@@ -74,9 +74,16 @@ def replicated_fingerprint(tree):
     leaves = jax.tree_util.tree_leaves(tree)
     acc = jnp.zeros((), jnp.uint32)
     for leaf in leaves:
-        bits = jax.lax.bitcast_convert_type(
-            jnp.asarray(leaf, jnp.float32).ravel(), jnp.uint32
-        )
+        leaf = jnp.asarray(leaf)
+        if jnp.issubdtype(leaf.dtype, jnp.integer):
+            # ints (e.g. uint32 PRNG keys) must NOT round-trip through
+            # f32 — the 24-bit mantissa would collapse nearby values and
+            # hide a desync (r2 review finding)
+            bits = leaf.ravel().astype(jnp.uint32)
+        else:
+            bits = jax.lax.bitcast_convert_type(
+                leaf.astype(jnp.float32).ravel(), jnp.uint32
+            )
         # order-dependent mix so permuted values change the fingerprint
         idx = jnp.arange(bits.shape[0], dtype=jnp.uint32)
         acc = acc + jnp.sum(bits * (idx * jnp.uint32(2654435761) + 1),

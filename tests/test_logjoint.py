@@ -517,3 +517,89 @@ def test_mask_handler_masks_factor_sites():
     _, logdensity, _, _ = build_logjoint(model)
     got = float(logdensity({"mu": jnp.asarray(0.0)}))
     np.testing.assert_allclose(got, sps.norm.logpdf(0.0) + 5.0, rtol=1e-6)
+
+
+def test_enumeration_scalar_and_batched_sites_interacting():
+    """Regression (r2 review): elimination must process plate-local sites
+    before scalar sites they interact with — the old reverse-index order
+    summed the plate inside the scalar's logsumexp, coupling all plate
+    elements to one assignment (wrong density, no error)."""
+    import itertools
+
+    n = 3
+    yv = jnp.asarray([0.3, -1.2, 0.8])
+    pa, qb = 0.4, 0.7
+
+    def make(first_scalar):
+        def model():
+            if first_scalar:
+                b = sample("a_switch", dist.Bernoulli(qb),
+                           infer={"enumerate": True})
+                a = sample("z_assign", dist.Bernoulli(pa),
+                           sample_shape=(n,), infer={"enumerate": True})
+            else:
+                a = sample("assign", dist.Bernoulli(pa),
+                           sample_shape=(n,), infer={"enumerate": True})
+                b = sample("switch", dist.Bernoulli(qb),
+                           infer={"enumerate": True})
+            loc = a.astype(jnp.float32) * 2.0 + b.astype(jnp.float32) * 0.5
+            sample("obs", dist.Normal(loc, 1.0), obs=yv)
+
+        return model
+
+    ref = -np.inf
+    for b in (0, 1):
+        for ac in itertools.product((0, 1), repeat=n):
+            lp = np.log(qb if b else 1 - qb)
+            for i, a in enumerate(ac):
+                lp += (np.log(pa if a else 1 - pa)
+                       - 0.5 * (float(yv[i]) - (2.0 * a + 0.5 * b)) ** 2
+                       - 0.5 * np.log(2 * np.pi))
+            ref = np.logaddexp(ref, lp)
+
+    for first_scalar in (True, False):
+        _, ld, _, _ = build_logjoint(make(first_scalar))
+        np.testing.assert_allclose(float(ld({})), ref, rtol=1e-5)
+
+
+def test_plate_reentry_reuses_indices():
+    """A plate object entered twice must reuse one index draw (r2 review:
+    the second entry used to emit a duplicate '__idx' site)."""
+    n = 40
+    y = jnp.arange(n, dtype=jnp.float32)
+
+    def model():
+        p = plate("data", n, subsample_size=8)
+        with p as idx1:
+            sample("y1", dist.Normal(0.0, 1.0), obs=y[idx1])
+        with p as idx2:
+            sample("y2", dist.Normal(0.0, 1.0), obs=y[idx2])
+        deterministic("same", jnp.all(idx1 == idx2))
+
+    info, ld, _, post = build_logjoint(model)
+    assert bool(post({}, rng_key=jax.random.PRNGKey(0))["same"])
+
+
+def test_plate_dim_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="dim"):
+        plate("data", 10, dim=-2)
+
+
+def test_postprocess_uses_trained_params():
+    """Deterministic sites must see the TRAINED param values when params=
+    is passed (r2 review: they used to be recomputed from init)."""
+    from bayesic_tpu.core import param
+
+    def model():
+        w = param("w", jnp.asarray(1.0))
+        deterministic("w2", w * 2.0)
+        sample("obs", dist.Normal(w, 1.0), obs=jnp.asarray(0.0))
+
+    info, ld, _, post = build_logjoint(model)
+    trained = {"w": jnp.asarray(5.0)}   # unconstrained (real constraint)
+    out = post({}, params=trained)
+    np.testing.assert_allclose(float(out["w2"]), 10.0)
+    out0 = post({})
+    np.testing.assert_allclose(float(out0["w2"]), 2.0)
