@@ -92,13 +92,27 @@ class DirichletMultinomial(Distribution):
         return constraints.nonnegative_integer
 
     def sample(self, key, sample_shape=()):
+        """Dirichlet draw then a chain of conditional binomials — works
+        for batched AND traced total_count (r2 review: routing through
+        Multinomial crashed on both via int(total_count))."""
         k1, k2 = jax.random.split(key)
         shape = tuple(sample_shape) + self.batch_shape
         alpha = jnp.broadcast_to(self.concentration,
                                  shape + self.event_shape)
         p = jax.random.dirichlet(k1, alpha)
-        from .discrete import Multinomial
-        return Multinomial(total_count=self.total_count, probs=p).sample(k2)
+        n_cat = int(self.event_shape[0])
+        rem_n = jnp.broadcast_to(self.total_count, shape).astype(
+            jnp.float32)
+        rem_p = jnp.ones(shape)
+        counts = []
+        for j in range(n_cat - 1):
+            pj = jnp.clip(p[..., j] / jnp.maximum(rem_p, 1e-37), 0.0, 1.0)
+            cj = jax.random.binomial(jax.random.fold_in(k2, j), rem_n, pj)
+            counts.append(cj)
+            rem_n = rem_n - cj
+            rem_p = rem_p - p[..., j]
+        counts.append(rem_n)
+        return jnp.stack(counts, -1).astype(jnp.int32)
 
     def log_prob(self, x):
         alpha = self.concentration
@@ -171,8 +185,15 @@ class VonMises(Distribution):
         fixed number of proposal rounds (static shapes under jit)."""
         shape = self.shape(sample_shape)
         kappa = jnp.broadcast_to(self.concentration, shape)
-        tau = 1.0 + jnp.sqrt(1.0 + 4.0 * kappa**2)
-        rho = (tau - jnp.sqrt(2.0 * tau)) / (2.0 * kappa)
+        # rho = (tau - sqrt(2 tau)) / (2 kappa) cancels catastrophically in
+        # f32 below kappa ~ 3e-4 (rho -> 0/NaN made the rejection loop
+        # fall through to all-zeros — r2 review).  The acceptance test is
+        # exact for ANY rho in (0,1), so the small-kappa series
+        # rho = k/2 + k^3/8 keeps correctness while fixing stability.
+        kk = jnp.maximum(kappa, 1e-6)
+        tau = 1.0 + jnp.sqrt(1.0 + 4.0 * kk**2)
+        rho_exact = (tau - jnp.sqrt(2.0 * tau)) / (2.0 * kk)
+        rho = jnp.where(kk < 0.05, kk / 2.0 + kk**3 / 8.0, rho_exact)
         r = (1.0 + rho**2) / (2.0 * rho)
 
         def round_(carry, kr):
@@ -190,9 +211,15 @@ class VonMises(Distribution):
             x = jnp.where(done, x, jnp.where(accept, theta, x))
             return (x, done | accept), None
 
-        keys = jax.random.split(key, self._REJECTION_ROUNDS)
+        keys = jax.random.split(key, self._REJECTION_ROUNDS + 1)
         (x, _), _ = jax.lax.scan(
-            round_, (jnp.zeros(shape), jnp.zeros(shape, bool)), keys)
+            round_, (jnp.zeros(shape), jnp.zeros(shape, bool)), keys[:-1])
+        # kappa ~ 0: the distribution IS uniform on the circle
+        # (TV distance <= kappa/2 < 5e-7 at the threshold)
+        x = jnp.where(kappa < 1e-6,
+                      jax.random.uniform(keys[-1], shape,
+                                         minval=-math.pi, maxval=math.pi),
+                      x)
         out = x + jnp.broadcast_to(self.loc, shape)
         return jnp.remainder(out + math.pi, 2.0 * math.pi) - math.pi
 

@@ -460,10 +460,24 @@ class TruncatedNormal(Distribution):
     def log_prob(self, x):
         a, b = self._alpha_beta()
         z = (x - self.loc) / self.scale
-        log_norm = jnp.log(ndtr(b) - ndtr(a))
-        return (
-            -0.5 * z * z - 0.5 * _LOG_2PI - jnp.log(self.scale) - log_norm
-        )
+        # stable normalizer: the mass ndtr(b) - ndtr(a) is computed on
+        # whichever side conditions better — the cdf form cancels in f32
+        # for far-upper windows (log_ndtr ~ -1e-19 rounds through
+        # exp() to 1), where the survival form sf(a) - sf(b) has
+        # well-scaled logs; and points outside [low, high] get exactly
+        # -inf (r2 review: they used to carry the untruncated density)
+        from jax.scipy.special import log_ndtr
+
+        def _log_diff(log_big, log_small):
+            return log_big + jnp.log1p(
+                -jnp.exp(jnp.minimum(log_small - log_big, 0.0)))
+
+        log_mass_cdf = _log_diff(log_ndtr(b), log_ndtr(a))
+        log_mass_sf = _log_diff(log_ndtr(-a), log_ndtr(-b))
+        log_norm = jnp.where(a > 0, log_mass_sf, log_mass_cdf)
+        lp = -0.5 * z * z - 0.5 * _LOG_2PI - jnp.log(self.scale) - log_norm
+        inside = (x >= self.low) & (x <= self.high)
+        return jnp.where(inside, lp, -jnp.inf)
 
 
 class Weibull(Distribution):

@@ -219,6 +219,15 @@ class Delta(Distribution):
             lp = jnp.sum(lp, axis=tuple(range(-self.event_ndim, 0)))
         return lp
 
+    def expand(self, batch_shape):
+        # base expand has no event-dim metadata for `value` (r2 review:
+        # it broadcast to batch_shape alone and crashed for event_ndim>0)
+        batch_shape = lax.broadcast_shapes(self.batch_shape,
+                                           tuple(batch_shape))
+        value = jnp.broadcast_to(self.value,
+                                 batch_shape + self.event_shape)
+        return Delta(value, event_ndim=len(self.event_shape))
+
     @property
     def mean(self):
         return self.value

@@ -54,8 +54,16 @@ def _trailing_ones(n):
     return _popcount(jnp.bitwise_xor(n, n + 1)) - 1
 
 
-def _is_turning(inv_mass, q_l, v_l, q_r, v_r):
-    dq = q_r - q_l
+def _is_turning(inv_mass, q_l, v_l, q_r, v_r, sign=1.0):
+    """Generalized-NUTS U-turn criterion on the TIME-ordered span
+    (q_l earlier, q_r later).  ``sign`` corrects a span supplied in BUILD
+    order: subtrees grown backward (direction=-1) visit later-time points
+    first, so their build-order displacement is the negative of the
+    time-order one while the velocities stay time-forward — without the
+    correction every >=2-leaf backward subtree looks like a U-turn
+    (verified: a flat-potential trajectory, which can never turn,
+    terminated at depths 2-4 instead of max_depth)."""
+    dq = (q_r - q_l) * sign
     return jnp.logical_or(
         jnp.sum(dq * v_l, -1) < 0.0, jnp.sum(dq * v_r, -1) < 0.0
     )
@@ -149,7 +157,7 @@ def make_nuts_kernel(potential_and_grad, max_depth=10,
                 active = jnp.logical_and(s >= idx_min, s <= idx_max)
                 turn_s = _is_turning(
                     inv_mass, q_ckpt[s % max_depth], v_ckpt[s % max_depth],
-                    state.q, v,
+                    state.q, v, sign=direction.astype(state.q.dtype),
                 )
                 return jnp.logical_or(turning, jnp.logical_and(active, turn_s))
 

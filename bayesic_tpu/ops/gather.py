@@ -49,6 +49,9 @@ def mxu_gather(table, idx, force=None, precision="fast"):
         return gather_reference(table, idx)
     squeeze = table.ndim == 1
     t2 = table[:, None] if squeeze else table
+    # jnp.take clips out-of-range indices; one_hot would instead produce
+    # an all-zero row — clamp first so the TPU path matches the oracle
+    idx = jnp.clip(idx, 0, t2.shape[0] - 1)
     onehot = jax.nn.one_hot(idx, t2.shape[0], dtype=jnp.bfloat16)
     dims = (((1,), (0,)), ((), ()))
     if precision == "fast":

@@ -311,7 +311,10 @@ def _vjp_bwd(res, ct):
         dlogw, dmus, dsig = jax.grad(f, argnums=(0, 1, 2))(
             log_w, mus, sigmas
         )
-    return None, dlogw, dmus, dsig
+    # the data cotangent is NOT implemented (the SMC hot path never
+    # differentiates wrt x); NaN instead of silent zeros so an accidental
+    # data-gradient consumer fails loudly (r2 review finding)
+    return jnp.full_like(x, jnp.nan), dlogw, dmus, dsig
 
 
 gmm_loglik.defvjp(_vjp_fwd, _vjp_bwd)

@@ -229,3 +229,41 @@ def test_truncated_as_latent_site():
     mu = np.asarray(r.samples["mu"]).reshape(-1)
     assert mu.min() >= 0.0 and mu.max() <= 3.0
     assert abs(mu.mean() - float(y.mean())) < 0.25
+
+
+def test_von_mises_small_kappa():
+    """Regression (r2 review): kappa <= ~1e-4 used to collapse to a point
+    mass at loc via f32 cancellation in the rejection constants."""
+    for kappa in (0.0, 1e-5, 1e-4, 1e-2):
+        x = np.asarray(dist.VonMises(0.5, kappa).sample(
+            jax.random.PRNGKey(7), (20000,)))
+        # near-uniform on the circle: large spread, tiny resultant
+        assert x.std() > 1.5
+        assert np.abs(np.exp(1j * x).mean()) < 0.05 + kappa
+
+
+def test_dirichlet_multinomial_batched_and_jitted_sampling():
+    """Regression (r2 review): batched/traced total_count used to crash in
+    sample via int(total_count)."""
+    alpha = jnp.ones((2, 3))
+    n = jnp.asarray([10, 20])
+    d = dist.DirichletMultinomial(alpha, n)
+    x = jax.jit(lambda k: d.sample(k, (500,)))(KEY)
+    assert x.shape == (500, 2, 3)
+    np.testing.assert_array_equal(np.asarray(x).sum(-1),
+                                  np.broadcast_to([10, 20], (500, 2)))
+    np.testing.assert_allclose(np.asarray(x[:, 1]).mean(0),
+                               20 / 3, atol=0.5)
+
+
+def test_truncated_normal_support_and_tails():
+    d = dist.TruncatedNormal(0.0, 1.0, low=0.0, high=1.0)
+    assert float(d.log_prob(jnp.asarray(-5.0))) == -np.inf
+    assert float(d.log_prob(jnp.asarray(2.0))) == -np.inf
+    # far-tail truncation window stays finite (used to hit log(0))
+    far = dist.TruncatedNormal(0.0, 1.0, low=9.0, high=10.0)
+    lp = float(far.log_prob(jnp.asarray(9.1)))
+    assert np.isfinite(lp)
+    ref = (ss.norm.logpdf(9.1)
+           - np.log(ss.norm.sf(9.0) - ss.norm.sf(10.0)))
+    np.testing.assert_allclose(lp, ref, rtol=1e-3)
