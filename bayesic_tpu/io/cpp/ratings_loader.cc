@@ -200,7 +200,11 @@ uint64_t btpr_batch_next(void* hit, int32_t* users_out, int32_t* items_out,
   int slot;
   {
     std::unique_lock<std::mutex> lk(it->mu);
-    it->cv_ready.wait(lk, [&] { return it->ready_slot != -1; });
+    // also wake on stop: btpr_batch_close sets stop and notifies
+    // cv_ready, so a consumer blocked here returns 0 instead of
+    // deadlocking (and then touching freed memory)
+    it->cv_ready.wait(lk, [&] { return it->stop || it->ready_slot != -1; });
+    if (it->stop) return 0;
     slot = it->ready_slot;
   }
   memcpy(users_out, it->u[slot].data(), it->batch * 4);
@@ -223,6 +227,7 @@ void btpr_batch_close(void* hit) {
     it->ready_slot = -1;
   }
   it->cv_consumed.notify_all();
+  it->cv_ready.notify_all();   // release any consumer blocked in batch_next
   if (it->worker.joinable()) it->worker.join();
   delete it;
 }

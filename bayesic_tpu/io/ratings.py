@@ -156,6 +156,11 @@ class RatingsDataset:
             self._iters.add(it)
             try:
                 while True:
+                    if it not in self._iters:
+                        # close() already tore this iterator down; calling
+                        # into the freed native handle would be
+                        # use-after-free (r2 review finding)
+                        return
                     u = np.empty(batch_size, np.int32)
                     i = np.empty(batch_size, np.int32)
                     r = np.empty(batch_size, np.float32)

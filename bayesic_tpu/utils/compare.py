@@ -129,6 +129,11 @@ def _psis_smooth_one(lw):
         smoothed = _gpd_inv_cdf(sti, k, sigma) + exp_cutoff
         lw = lw.copy()
         lw[tail_ids] = np.log(smoothed)
+    elif not np.isfinite(k):
+        # a NaN fit means the tail was too pathological to smooth —
+        # report inf so the k > 0.7 reliability check FLAGS the point
+        # (NaN compared > 0.7 is False and silently passed; r2 review)
+        k = np.inf
     lw = np.minimum(lw, 0.0)          # no draw outweighs the raw maximum
     return lw - _logsumexp(lw), float(k)
 

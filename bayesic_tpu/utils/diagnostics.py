@@ -31,16 +31,6 @@ def autocovariance(x, axis=-1):
     return jnp.moveaxis(acov, -1, axis)
 
 
-def _rank_normalize(x):
-    """Rank-normalize samples (Vehtari et al. 2021) over (chain, draw)."""
-    shape = x.shape
-    flat = x.reshape(-1, *shape[2:]) if x.ndim > 2 else x.reshape(-1)
-    n = flat.shape[0]
-    ranks = jnp.argsort(jnp.argsort(flat, 0), 0) + 1.0
-    z = jax.scipy.special.ndtri((ranks - 0.375) / (n + 0.25))
-    return z.reshape(shape)
-
-
 def ess(x):
     """Effective sample size of ``x`` shaped (n_chains, n_samples, ...)
     using Stan's multi-chain rho_hat with Geyer initial-monotone-positive

@@ -76,14 +76,22 @@ def sbc(prior_fn: Callable, run_fn: Callable, *, num_sims=100,
 
     binned = {n: np.floor(r * num_bins / (L + 1)).astype(int)
               for n, r in ranks.items()}
+    # floor binning gives UNEQUAL bin widths when (L+1) % num_bins != 0;
+    # the chi-squared expectation must use each bin's true width or a
+    # perfectly calibrated sampler fails the test (r2 review finding)
+    widths = np.bincount(
+        np.floor(np.arange(L + 1) * num_bins / (L + 1)).astype(int),
+        minlength=num_bins)
+    expected = num_sims * widths / (L + 1)
+    used = expected > 0
     pvalues = {}
-    expected = num_sims / num_bins
     for n, b in binned.items():
         flat = b.reshape(num_sims, -1)
         pv = []
         for c in range(flat.shape[1]):
             counts = np.bincount(flat[:, c], minlength=num_bins)
-            stat = float(((counts - expected) ** 2 / expected).sum())
-            pv.append(_chi2_sf(stat, num_bins - 1))
+            stat = float(((counts[used] - expected[used]) ** 2
+                          / expected[used]).sum())
+            pv.append(_chi2_sf(stat, int(used.sum()) - 1))
         pvalues[n] = np.asarray(pv).reshape(b.shape[1:] or (1,))
     return SBCResult(ranks, num_bins, pvalues)

@@ -86,13 +86,9 @@ def _steps(n):
     return max(20, n // 10) if SMOKE else n
 
 
-def _force(out):
-    """Materialize on host: through the remote-TPU relay,
-    block_until_ready can return before compute finishes; device_get is the
-    only reliable fence."""
-    return jax.tree_util.tree_map(
-        lambda a: np.asarray(jax.device_get(a)).ravel()[:1], out
-    )
+# host materialization fence — single shared implementation (the relay
+# rationale lives with it in models/common.py)
+from bayesic_tpu.models.common import _force  # noqa: E402
 
 
 def _median_protocol(rep_fn, reps=REPS):
@@ -174,6 +170,37 @@ def bench_svi(name, svi, key, steps, model_args=None, cost=None,
     return rec
 
 
+
+
+def bench_fused(name, fused_call, steps, cost=None, extra=None,
+                final_loss_holder=None):
+    """Shared protocol wrapper for the whole-run fused trainers: one
+    untimed warm call, then _median_protocol over fully-fenced reps that
+    thread EVOLVING state (the caller's fused_call(seed) closure must
+    update its own holder and return the loss trace)."""
+    _force(fused_call(1))
+    holder = {}
+
+    def rep(i):
+        t0 = time.perf_counter()
+        losses = fused_call(2 + i)
+        _force(losses)
+        holder["last_loss"] = float(np.asarray(losses)[-1])
+        return time.perf_counter() - t0
+
+    med, spread, times = _median_protocol(rep)
+    rate = steps / med / jax.device_count()
+    rec = _record(name, "elbo_steps_per_s_per_chip", rate, "steps/s/chip",
+                  steps=steps, reps=len(times), spread=round(spread, 4),
+                  final_loss=holder.get("last_loss"),
+                  **(extra or {}))
+    if cost is not None:
+        roofline.annotate(rec, *cost,
+                          steps_per_s=rate * jax.device_count(),
+                          platform=jax.default_backend())
+    return rec
+
+
 def bench_nuts_ess(name, mcmc, key, segmented=None, reps=REPS,
                    cost_per_leapfrog=None, rhat_gate=1.01):
     """NUTS throughput with a convergence gate: each rep is a full
@@ -202,8 +229,7 @@ def bench_nuts_ess(name, mcmc, key, segmented=None, reps=REPS,
         _force(qs)
         dt = time.perf_counter() - t0
         ess = np.asarray(diag.ess(qs))
-        rhat = np.asarray([diag.split_rhat(qs[:, :, d])
-                           for d in range(qs.shape[-1])])
+        rhat = np.asarray(diag.split_rhat(qs))
         nsteps = float(np.asarray(res.extra["num_steps"]).mean())
         stats.append((float(ess.min()), float(rhat.max()), dt, nsteps,
                       int(np.asarray(res.extra["diverging"]).sum())))
@@ -268,23 +294,8 @@ def run_linreg():
                             t0=holder_f["t0"] + steps_f)
             return losses
 
-        _force(fused_call(1))
-
-        def rep_f(i):
-            t0 = time.perf_counter()
-            losses = fused_call(2 + i)
-            _force(losses)
-            _force(holder_f["loc"])
-            holder_f["last_loss"] = float(losses[-1])
-            return time.perf_counter() - t0
-
-        med, spread, times_f = _median_protocol(rep_f)
-        rate = steps_f / med / jax.device_count()
-        recs.append(_record(
-            "linreg_fused", "elbo_steps_per_s_per_chip", rate,
-            "steps/s/chip", steps=steps_f, reps=len(times_f),
-            spread=round(spread, 4), sufficient_stats=True,
-            final_loss=holder_f["last_loss"]))
+        recs.append(bench_fused("linreg_fused", fused_call, steps_f,
+                                extra={"sufficient_stats": True}))
     return recs
 
 
@@ -328,27 +339,10 @@ def run_hier_logistic():
                             t0=holder_f["t0"] + steps_f)
             return losses
 
-        _force(fused_call(1))
-
-        def rep_f(i):
-            t0 = time.perf_counter()
-            losses = fused_call(2 + i)
-            _force(losses)
-            _force(holder_f["loc"])
-            holder_f["last_loss"] = float(losses[-1])
-            return time.perf_counter() - t0
-
-        med, spread, times_f = _median_protocol(rep_f)
-        rate = steps_f / med / jax.device_count()
-        rec_f = _record("hier_logistic_fused", "elbo_steps_per_s_per_chip",
-                        rate, "steps/s/chip", steps=steps_f,
-                        reps=len(times_f), spread=round(spread, 4),
-                        final_loss=holder_f["last_loss"])
-        roofline.annotate(rec_f, *roofline.hier_logistic_svi(
-            cfg.batch_size, cfg.num_features, cfg.num_groups),
-            steps_per_s=rate * jax.device_count(),
-            platform=jax.default_backend())
-        recs.append(rec_f)
+        recs.append(bench_fused(
+            "hier_logistic_fused", fused_call, steps_f,
+            cost=roofline.hier_logistic_svi(
+                cfg.batch_size, cfg.num_features, cfg.num_groups)))
 
     # Full-batch NUTS, CENTERED parameterization (data-dominated regime —
     # the round-1 non-centered form mixed at min-ESS 64/25,600; see
@@ -415,7 +409,7 @@ def run_gmm():
                        else [False]):
         smc = make(use_pallas)
         smc.run(jax.random.PRNGKey(0))   # compile/warm (untimed)
-        info = {}
+        info = {"stages_per_rep": []}
 
         def rep(i):
             k = jax.random.PRNGKey(100 + i)
@@ -423,11 +417,15 @@ def run_gmm():
             res = smc.run(k)
             _force(res.log_evidence)
             dt = time.perf_counter() - t0
-            info["stages"] = int(res.num_stages)
+            info["stages_per_rep"].append(int(res.num_stages))
             return dt
 
         med, spread, times = _median_protocol(rep)
-        stages = info["stages"]
+        # adaptive tempering: stage count varies per key, so pair the
+        # stage count WITH the median-time rep (r2 review: mixing the
+        # last rep's stages with another rep's wall over-reports)
+        i_med = int(np.argmin([abs(t - med) for t in times]))
+        stages = info["stages_per_rep"][i_med]
         rec = _record(
             "gmm_smc" + ("_pallas" if use_pallas else ""),
             "particle_stages_per_s_per_chip",
@@ -480,27 +478,10 @@ def run_dlgm():
             holder_f.update(p=p, m=m, v=v, t0=holder_f["t0"] + steps_f)
             return losses
 
-        losses_f = fused_call(1)
-        _force(losses_f)
-
-        def rep_f(i):
-            t0 = time.perf_counter()
-            losses = fused_call(2 + i)
-            _force(losses)
-            _force(holder_f["p"]["usig"])
-            holder_f["last_loss"] = float(losses[-1])
-            return time.perf_counter() - t0
-
-        med, spread, times_f = _median_protocol(rep_f)
-        rate = steps_f / med / jax.device_count()
-        rec_f = _record("dlgm_fused", "elbo_steps_per_s_per_chip", rate,
-                        "steps/s/chip", steps=steps_f, reps=len(times_f),
-                        spread=round(spread, 4),
-                        final_loss=holder_f["last_loss"])
-        roofline.annotate(rec_f, *roofline.dlgm_svi(
-            cfg.batch_size, cfg.data_dim, cfg.latent_dim, cfg.hidden),
-            steps_per_s=rate * jax.device_count(), dtype=cfg.compute_dtype,
-            platform=jax.default_backend())
+        rec_f = bench_fused("dlgm_fused", fused_call, steps_f,
+                            cost=roofline.dlgm_svi(
+                                cfg.batch_size, cfg.data_dim,
+                                cfg.latent_dim, cfg.hidden))
         recs.append(rec_f)
 
     # the 1024-sharded-chain NUTS variant (configs[4]) with pooled
