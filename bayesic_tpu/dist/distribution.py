@@ -120,6 +120,15 @@ class Distribution:
             object.__setattr__(new, k, v)
         for name in self._params:
             leaf = getattr(self, name)
+            if leaf is None:
+                continue             # optional bound (e.g. Censored.upper)
+            if isinstance(leaf, Distribution):
+                # wrapper distributions (Censored/Truncated/ZeroInflated/
+                # TransformedDistribution) expand their base recursively;
+                # wrappers with a non-batch-aligned base (Independent,
+                # MixtureSameFamily, HMM) override expand instead
+                object.__setattr__(new, name, leaf.expand(batch_shape))
+                continue
             ev = self._param_event_ndims.get(name, 0)
             tail = jnp.shape(leaf)[len(jnp.shape(leaf)) - ev:] if ev else ()
             object.__setattr__(

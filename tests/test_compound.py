@@ -267,3 +267,16 @@ def test_truncated_normal_support_and_tails():
     ref = (ss.norm.logpdf(9.1)
            - np.log(ss.norm.sf(9.0) - ss.norm.sf(10.0)))
     np.testing.assert_allclose(lp, ref, rtol=1e-3)
+
+
+def test_wrapper_distributions_expand():
+    """Regression: expand on wrapper distributions with Distribution-
+    valued params used to crash in broadcast_to; they now expand their
+    base recursively (None bounds skipped)."""
+    c = dist.Censored(dist.Normal(0.0, 1.0), lower=0.0).expand((5,))
+    assert c.batch_shape == (5,)
+    assert c.sample(KEY).shape == (5,)
+    t = dist.Truncated(dist.Normal(0.0, 2.0), lower=-1.0).expand((4,))
+    assert t.log_prob(jnp.zeros(4)).shape == (4,)
+    z = dist.ZeroInflatedPoisson(0.2, 3.0).expand((7,))
+    assert z.log_prob(jnp.zeros(7, jnp.int32)).shape == (7,)
