@@ -40,11 +40,20 @@ def run_workload(name):
     for attempt in (1, 2):
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
             tmp = tf.name
-        proc = subprocess.run(
-            [sys.executable, "-m", "benchmarks.harness", "--model", name,
-             "--out", tmp],
-            capture_output=True, timeout=2400, text=True, cwd=HERE, env=env,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "benchmarks.harness", "--model",
+                 name, "--out", tmp],
+                capture_output=True, timeout=2400, text=True, cwd=HERE,
+                env=env,
+            )
+        except subprocess.TimeoutExpired:
+            # a wedged remote-TPU worker hangs even trivial ops (observed
+            # 2026-08-18: >40 min outage); a timeout must count as a
+            # failed attempt, not crash the whole bench
+            print(f"bench: {name} attempt {attempt} timed out",
+                  file=sys.stderr)
+            continue
         try:
             with open(tmp) as f:
                 recs = json.load(f)
