@@ -67,7 +67,30 @@ def run_workload(name):
     return []
 
 
+def tpu_reachable(timeout=240):
+    """A wedged relay hangs even jax.devices(); probe in a subprocess so
+    a dead tunnel costs minutes, not 2 attempts x 40 min x 5 workloads."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices())"],
+            capture_output=True, timeout=timeout, text=True, cwd=HERE,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not tpu_reachable():
+        print(json.dumps({
+            "metric": "dlgm_elbo_steps_per_s_per_chip", "value": 0.0,
+            "unit": "steps/s/chip", "vs_baseline": 0.0,
+            "error": "TPU unreachable: device init timed out (wedged "
+                     "relay/worker); see benchmarks/results_tpu_r2.json "
+                     "for the last good measured sweep",
+        }))
+        return 1
     records = []
     for name in WORKLOADS:
         records.extend(run_workload(name))
