@@ -110,3 +110,39 @@ def test_nuts_deterministic():
         return np.asarray(m.run(jax.random.PRNGKey(3)).unconstrained)
 
     np.testing.assert_array_equal(run_once(), run_once())
+
+
+def test_cdf_properties_all_families():
+    """cdf in [0,1], monotone on a support grid, consistent with empirical
+    sampling, and icdf(cdf(x)) == x where icdf exists."""
+    cases = [
+        (dist.Normal(0.3, 1.7), np.linspace(-5, 5, 41)),
+        (dist.LogNormal(0.1, 0.6), np.linspace(0.05, 8, 41)),
+        (dist.HalfNormal(2.0), np.linspace(0.01, 6, 41)),
+        (dist.Cauchy(0.0, 1.0), np.linspace(-8, 8, 41)),
+        (dist.HalfCauchy(1.5), np.linspace(0.01, 10, 41)),
+        (dist.Laplace(-0.5, 1.2), np.linspace(-6, 5, 41)),
+        (dist.Exponential(0.7), np.linspace(0.01, 8, 41)),
+        (dist.Gamma(2.0, 1.5), np.linspace(0.01, 6, 41)),
+        (dist.Beta(2.0, 3.0), np.linspace(0.01, 0.99, 41)),
+        (dist.Uniform(-1.0, 2.0), np.linspace(-1, 2, 41)),
+        (dist.Weibull(1.5, 2.0), np.linspace(0.01, 5, 41)),
+        (dist.Gumbel(0.0, 1.0), np.linspace(-4, 6, 41)),
+        (dist.Pareto(1.0, 2.5), np.linspace(1.01, 8, 41)),
+        (dist.StudentT(4.0, 0.0, 1.0), np.linspace(-6, 6, 41)),
+    ]
+    key = jax.random.PRNGKey(0)
+    for d, grid in cases:
+        c = np.asarray(d.cdf(jnp.asarray(grid, jnp.float32)))
+        assert np.all((c >= 0) & (c <= 1)), type(d).__name__
+        assert np.all(np.diff(c) >= -1e-6), type(d).__name__
+        # empirical CDF agreement at the median-ish grid point
+        xs = np.asarray(d.sample(key, (20000,)))
+        mid = grid[len(grid) // 2]
+        emp = (xs <= mid).mean()
+        assert abs(emp - c[len(grid) // 2]) < 0.02, type(d).__name__
+        if hasattr(d, "icdf"):
+            q = jnp.asarray([0.1, 0.5, 0.9])
+            np.testing.assert_allclose(
+                np.asarray(d.cdf(d.icdf(q))), np.asarray(q),
+                rtol=1e-4, atol=1e-5, err_msg=type(d).__name__)
