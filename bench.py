@@ -8,9 +8,22 @@ The headline metric stays the flagship DLGM ELBO-steps/s/chip (the round-1
 series value); `vs_baseline` is this run / round-1's 13,541.9 — the
 reference itself publishes no numbers (BASELINE.json published == {}), so
 this repo's own history (BENCH_r*.json) is the comparison series.  Every
-per-workload entry carries the protocol's `spread` ((max-min)/median over 3
-fenced reps) — cross-round comparisons must quote it, because the shared
-TPU tunnel varies up to ~40% between sweeps.
+per-workload entry carries the protocol's `spread` (window (max-min)/median
+under the fastest-K protocol) — cross-round comparisons must quote it,
+because the shared TPU tunnel varies up to ~40% between sweeps.
+
+Capture resilience (VERDICT r2 item 1 — the round-2 official capture
+recorded 0.0 from a single 240 s probe against a wedged relay):
+  * the TPU probe RETRIES with backoff for up to ~BENCH_PROBE_BUDGET_S
+    seconds (default 4500 s) before declaring the device unreachable —
+    observed relay outages last 40+ minutes and resolve on their own;
+  * per-workload records are CHECKPOINTED to benchmarks/.bench_partial.json
+    as they land, and a rerun within 12 h RESUMES the sweep instead of
+    restarting (BENCH_FRESH=1 forces a restart);
+  * if a workload exhausts its two attempts, the TPU is re-probed (the
+    relay may have died mid-sweep) before moving on, and the final JSON
+    line is emitted with whatever records exist — a partial sweep beats a
+    zero.
 
 Each workload runs in a FRESH subprocess (a remote-TPU worker crash poisons
 the client process; subprocess isolation + one retry recovers), with the
@@ -22,11 +35,18 @@ import os
 import subprocess
 import sys
 import tempfile
+import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 R1_HEADLINE = 13541.9   # BENCH_r01.json dlgm_elbo_steps_per_s_per_chip
 
 WORKLOADS = ("linreg", "hier_logistic", "matrix_fact", "gmm", "dlgm")
+
+PARTIAL_PATH = os.path.join(HERE, "benchmarks", ".bench_partial.json")
+PARTIAL_TTL_S = 12 * 3600      # a resume older than this is a new round
+PROBE_TIMEOUT_S = 240          # one jax.devices() attempt
+PROBE_INTERVAL_S = 180         # sleep between failed probes
+PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_BUDGET_S", "4500"))
 
 # fields worth carrying into the aggregate line per record
 KEEP = ("metric", "value", "unit", "spread", "reps", "min_ess", "max_rhat",
@@ -44,7 +64,7 @@ def run_workload(name):
             proc = subprocess.run(
                 [sys.executable, "-m", "benchmarks.harness", "--model",
                  name, "--out", tmp],
-                capture_output=True, timeout=2400, text=True, cwd=HERE,
+                capture_output=True, timeout=3000, text=True, cwd=HERE,
                 env=env,
             )
         except subprocess.TimeoutExpired:
@@ -67,7 +87,7 @@ def run_workload(name):
     return []
 
 
-def tpu_reachable(timeout=240):
+def probe_once(timeout=PROBE_TIMEOUT_S):
     """A wedged relay hangs even jax.devices(); probe in a subprocess so
     a dead tunnel costs minutes, not 2 attempts x 40 min x 5 workloads."""
     try:
@@ -81,23 +101,60 @@ def tpu_reachable(timeout=240):
         return False
 
 
-def main():
-    if not tpu_reachable():
-        print(json.dumps({
-            "metric": "dlgm_elbo_steps_per_s_per_chip", "value": 0.0,
-            "unit": "steps/s/chip", "vs_baseline": 0.0,
-            "error": "TPU unreachable: device init timed out (wedged "
-                     "relay/worker); see benchmarks/results_tpu_r2.json "
-                     "for the last good measured sweep",
-        }))
-        return 1
-    records = []
-    for name in WORKLOADS:
-        records.extend(run_workload(name))
+def wait_for_tpu(budget_s=PROBE_BUDGET_S):
+    """Patient probe: relay outages of 40+ minutes resolve on their own
+    (observed 2026-08-18), so one failed probe must not zero the round.
+    Retries every PROBE_INTERVAL_S until the budget would be exceeded."""
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        if probe_once():
+            if attempt > 1:
+                print(f"bench: TPU back after {time.time()-t0:.0f}s "
+                      f"({attempt} probes)", file=sys.stderr)
+            return True
+        elapsed = time.time() - t0
+        if elapsed + PROBE_INTERVAL_S + PROBE_TIMEOUT_S > budget_s:
+            print(f"bench: TPU unreachable after {elapsed:.0f}s "
+                  f"({attempt} probes)", file=sys.stderr)
+            return False
+        print(f"bench: probe {attempt} failed ({elapsed:.0f}s elapsed); "
+              f"retrying in {PROBE_INTERVAL_S}s", file=sys.stderr)
+        time.sleep(PROBE_INTERVAL_S)
 
+
+def load_partial():
+    """Resume a sweep interrupted by a relay outage: per-workload records
+    checkpointed within the last PARTIAL_TTL_S are reused verbatim."""
+    if os.environ.get("BENCH_FRESH"):
+        return {}
+    try:
+        st = os.stat(PARTIAL_PATH)
+        if time.time() - st.st_mtime > PARTIAL_TTL_S:
+            return {}
+        with open(PARTIAL_PATH) as f:
+            data = json.load(f)
+        return {k: v for k, v in data.get("records", {}).items()
+                if k in WORKLOADS and v}
+    except Exception:
+        return {}
+
+
+def save_partial(done):
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump({"saved_at": time.time(), "records": done}, f)
+    except Exception as e:  # noqa: BLE001 — checkpointing must never kill
+        print(f"bench: partial save failed: {e}", file=sys.stderr)
+
+
+def emit(done, error=None):
+    """Assemble and print the one JSON line from whatever records exist."""
     by_model = {}
-    for r in records:
-        by_model[r["model"]] = {k: r[k] for k in KEEP if k in r}
+    for recs in done.values():
+        for r in recs:
+            by_model[r["model"]] = {k: r[k] for k in KEEP if k in r}
 
     # headline = the best supported configuration of the flagship DLGM
     # workload: since round 2 that is the whole-run fused Pallas trainer
@@ -116,8 +173,55 @@ def main():
         "spread": headline.get("spread"),
         "workloads": by_model,
     }
+    if error:
+        out["error"] = error
     print(json.dumps(out))
-    return 0 if len(by_model) >= 5 else 1
+    complete = all(name in done and done[name] for name in WORKLOADS)
+    return 0 if complete and value > 0 else 1
+
+
+def main():
+    done = load_partial()
+    if done:
+        print(f"bench: resuming sweep, have {sorted(done)}",
+              file=sys.stderr)
+
+    if not wait_for_tpu():
+        return emit(done, error=(
+            "TPU unreachable: device init timed out on every probe over "
+            f"{PROBE_BUDGET_S:.0f}s (wedged relay/worker); records shown "
+            "are from the checkpointed partial sweep, if any"))
+
+    for name in WORKLOADS:
+        if done.get(name):
+            continue
+        recs = run_workload(name)
+        if recs:
+            done[name] = recs
+            save_partial(done)
+            continue
+        # both attempts failed — most likely the relay died mid-sweep;
+        # wait for it before burning the remaining workloads' attempts
+        print(f"bench: {name} failed twice; re-probing TPU",
+              file=sys.stderr)
+        if not wait_for_tpu():
+            return emit(done, error=(
+                f"TPU lost mid-sweep at {name}; partial records emitted"))
+        recs = run_workload(name)
+        if recs:
+            done[name] = recs
+            save_partial(done)
+        else:
+            print(f"bench: {name} failed with TPU reachable — skipping",
+                  file=sys.stderr)
+
+    rc = emit(done)
+    if rc == 0:
+        try:
+            os.unlink(PARTIAL_PATH)   # clean completion: next run is fresh
+        except OSError:
+            pass
+    return rc
 
 
 if __name__ == "__main__":
