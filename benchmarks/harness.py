@@ -377,11 +377,66 @@ def run_matrix_fact():
     model = mf.make_model(cfg)
     svi = SVI(model, MeanFieldGuide,
               optax.adam(0.02), model_args=(users, items, ratings))
-    return [bench_svi("matrix_fact", svi, jax.random.PRNGKey(0), 3000,
+    recs = [bench_svi("matrix_fact", svi, jax.random.PRNGKey(0), 3000,
                       model_args=(users, items, ratings),
                       cost=roofline.matrix_fact_svi(
                           cfg.batch_size, cfg.num_factors, cfg.num_users,
                           cfg.num_items))]
+
+    # dense sufficient-statistics analytic-ELBO path (VERDICT r2 item 2):
+    # each dense step is an EXACT full-batch deterministic ELBO step — the
+    # work of num_ratings/batch_size mini-batch steps with zero gradient
+    # variance (see models/matrix_fact.py dense docblock)
+    import functools as _ft
+
+    cnt, rsum, sqsum, n_r = mf.dense_stats(users, items, ratings,
+                                           cfg.num_users, cfg.num_items)
+    steps_d = _steps(20_000)
+    params0 = mf.dense_init(cfg, jax.random.PRNGKey(0))
+    opt = optax.adam(2e-3)
+    loss_fn = _ft.partial(mf.dense_neg_elbo, sqsum=sqsum, n_ratings=n_r,
+                          noise=cfg.noise)
+
+    @jax.jit
+    def dense_block(carry, cnt, rsum):
+        def body(c, _):
+            p, s = c
+            loss, g = jax.value_and_grad(loss_fn)(p, cnt, rsum)
+            upd, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, upd), s), loss
+
+        return jax.lax.scan(body, carry, None, length=steps_d)
+
+    carry0 = (params0, opt.init(params0))
+    carry0, losses = dense_block(carry0, cnt, rsum)   # compile/warm
+    _force(losses)
+    holder_d = {"carry": carry0}
+
+    def rep_d(_i):
+        t0 = time.perf_counter()
+        holder_d["carry"], losses = dense_block(holder_d["carry"], cnt,
+                                                rsum)
+        _force(losses)
+        holder_d["loss"] = float(np.asarray(losses)[-1])
+        return time.perf_counter() - t0
+
+    med, spread, times = _median_protocol(rep_d)
+    rate = steps_d / med / jax.device_count()
+    rec = _record("matrix_fact_dense", "elbo_steps_per_s_per_chip", rate,
+                  "steps/s/chip", steps=steps_d, reps=len(times),
+                  spread=round(spread, 4), final_loss=holder_d["loss"],
+                  equiv_minibatch_steps_per_step=round(
+                      n_r / cfg.batch_size, 1),
+                  estimator="analytic full-batch ELBO (deterministic)")
+    roofline.annotate(rec, *roofline.matrix_fact_dense(
+        cfg.num_users, cfg.num_items, cfg.num_factors),
+        steps_per_s=rate * jax.device_count(),
+        platform=jax.default_backend())
+    print(json.dumps({k: rec[k] for k in
+                      ("model", "achieved_tflops", "mfu", "hbm_util",
+                       "bound")}), flush=True)
+    recs.append(rec)
+    return recs
 
 
 def run_gmm():

@@ -88,6 +88,21 @@ def matrix_fact_svi(batch, num_factors, num_users, num_items):
     return flops, bytes_
 
 
+def matrix_fact_dense(num_users, num_items, num_factors):
+    """Dense sufficient-stats analytic ELBO (models/matrix_fact.run_dense):
+    3 forward (U x I x K) matmuls (mean + two second-moment terms), ~3x for
+    backward, plus ~12 elementwise ops per cell.  HBM: cnt + rsum read, the
+    three (U, I) products materialized + re-read by the backward (XLA
+    fusion may beat this — this is the no-reuse upper bound)."""
+    cells = num_users * num_items
+    flops = 3.0 * 3.0 * _mm(num_users, num_items, num_factors) \
+        + 12.0 * cells
+    bytes_ = 4 * (2 * cells          # cnt + rsum read
+                  + 3 * 2 * cells    # mean/var products written + read back
+                  + 8 * num_factors * (num_users + num_items))
+    return flops, bytes_
+
+
 def gmm_smc_stage(num_particles, num_data, num_components, dim,
                   mutation_steps, leapfrog_steps):
     """One tempering stage: loglik over (P, N, K) responsibilities, repeated
