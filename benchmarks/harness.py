@@ -436,6 +436,31 @@ def run_matrix_fact():
                       ("model", "achieved_tflops", "mfu", "hbm_util",
                        "bound")}), flush=True)
     recs.append(rec)
+
+    # fused Pallas kernel on the same dense objective (ops/mf_dense.py):
+    # whole cell-space value+grad in one pass over (cnt, rsum)
+    if jax.default_backend() == "tpu":
+        from bayesic_tpu.ops import mf_dense
+
+        steps_k = _steps(50_000)
+        holder_k = {"p": mf.dense_init(cfg, jax.random.PRNGKey(0)),
+                    "opt": None}
+
+        def fused_call(_seed):
+            p, opt_state, losses = mf_dense.fused_train(
+                holder_k["p"], cnt, rsum, sqsum, n_r, cfg.noise,
+                steps=steps_k, lr=2e-3, mm_dtype="bfloat16",
+                opt_state=holder_k["opt"])
+            holder_k.update(p=p, opt=opt_state)
+            return losses
+
+        rec_k = bench_fused(
+            "matrix_fact_fused", fused_call, steps_k,
+            cost=roofline.matrix_fact_fused(cfg.num_users, cfg.num_items),
+            extra={"estimator": "analytic full-batch ELBO (deterministic)",
+                   "equiv_minibatch_steps_per_step": round(
+                       n_r / cfg.batch_size, 1)})
+        recs.append(rec_k)
     return recs
 
 

@@ -103,6 +103,16 @@ def matrix_fact_dense(num_users, num_items, num_factors):
     return flops, bytes_
 
 
+def matrix_fact_fused(num_users, num_items, aug=32):
+    """ops/mf_dense.py fused kernel: 6 cell-space matmuls with augmented
+    width aug (M/dUa/dVa at aug, V/dWu/dWv at 2*aug) + ~10 elementwise ops
+    per cell; HBM floor = cnt (bf16) + rsum (f32) read once per step."""
+    cells = num_users * num_items
+    flops = 2.0 * cells * (3 * aug + 3 * 2 * aug) + 10.0 * cells
+    bytes_ = cells * (2 + 4) + 4 * 16 * (num_users + num_items) * 6
+    return flops, bytes_
+
+
 def gmm_smc_stage(num_particles, num_data, num_components, dim,
                   mutation_steps, leapfrog_steps):
     """One tempering stage: loglik over (P, N, K) responsibilities, repeated
