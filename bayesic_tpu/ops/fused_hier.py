@@ -185,12 +185,15 @@ def _lr_at(t, lr0, total):
 def _train_kernel(seed_ref, t0_ref, x_ref, loc_ref, ls_ref,
                   m1_ref, m2_ref, v1_ref, v2_ref,
                   losses_ref, loc_out, ls_out, m1o, m2o, v1o, v2o,
-                  *, n, b, steps, lr0, lr_total):
+                  *, n, n_total, b, steps, lr0, lr_total):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     pltpu.prng_seed(seed_ref[0])
-    scale = n / b
+    # DP composition: minibatches come from the LOCAL shard (n rows) but
+    # the likelihood is scaled to the GLOBAL dataset (n_total) so each
+    # device's objective is an unbiased estimate of the full ELBO
+    scale = n_total / b
 
     def body(i, carry):
         loc, ls, m1, m2, v1, v2 = carry
@@ -215,15 +218,15 @@ def _train_kernel(seed_ref, t0_ref, x_ref, loc_ref, ls_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "b", "steps", "lr0", "lr_total",
-                              "interpret"))
-def _fused_train(x_pad, loc, ls, m1, m2, v1, v2, *, n, b, steps, lr0,
-                 lr_total, seed, t0, interpret):
+    jax.jit, static_argnames=("n", "n_total", "b", "steps", "lr0",
+                              "lr_total", "interpret"))
+def _fused_train(x_pad, loc, ls, m1, m2, v1, v2, *, n, n_total, b, steps,
+                 lr0, lr_total, seed, t0, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = functools.partial(_train_kernel, n=n, b=b, steps=steps,
-                               lr0=lr0, lr_total=lr_total)
+    kernel = functools.partial(_train_kernel, n=n, n_total=n_total, b=b,
+                               steps=steps, lr0=lr0, lr_total=lr_total)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     pshape = jax.ShapeDtypeStruct((1, 128), jnp.float32)
     outs = pl.pallas_call(
@@ -245,12 +248,16 @@ def _fused_train(x_pad, loc, ls, m1, m2, v1, v2, *, n, b, steps, lr0,
 
 
 def fused_train(x_packed, loc, ls, opt_state=None, *, steps, lr0,
-                lr_total=None, seed=0, batch=1024, t0=0, interpret=False):
+                lr_total=None, seed=0, batch=1024, t0=0, n_total=None,
+                interpret=False):
     """Run `steps` fused hier-logistic ELBO steps on-chip.
 
     x_packed: (N, 128) from pack_data, already SHUFFLED row-wise once
-    (block minibatch contract).  Returns (loc, ls, opt_state, losses)."""
+    (block minibatch contract).  ``n_total``: global dataset size for the
+    likelihood scale when x_packed is one shard of a DP run (defaults to
+    the local size).  Returns (loc, ls, opt_state, losses)."""
     n = x_packed.shape[0]
+    n_total = int(n_total if n_total is not None else n)
     lr_total = int(lr_total if lr_total is not None else steps)
     if opt_state is None:
         zz = jnp.zeros((1, 128), jnp.float32)
@@ -265,22 +272,23 @@ def fused_train(x_packed, loc, ls, opt_state=None, *, steps, lr0,
         return reference_train(x_packed, loc, ls, (m1, m2, v1, v2),
                                off_stream=offs, eps_stream=epss,
                                lr0=lr0, lr_total=lr_total, batch=batch,
-                               t0=t0)
+                               t0=t0, n_total=n_total)
     x_pad = jnp.concatenate([x_packed, x_packed[:batch]], axis=0)
     losses, loc, ls, (m1, m2, v1, v2) = _fused_train(
-        x_pad, loc, ls, m1, m2, v1, v2, n=n, b=int(batch),
-        steps=int(steps), lr0=float(lr0), lr_total=lr_total, seed=seed,
-        t0=t0, interpret=False)
+        x_pad, loc, ls, m1, m2, v1, v2, n=n, n_total=n_total,
+        b=int(batch), steps=int(steps), lr0=float(lr0), lr_total=lr_total,
+        seed=seed, t0=t0, interpret=False)
     return loc, ls, (m1, m2, v1, v2), losses
 
 
 def reference_train(x_packed, loc, ls, opt_state, *, off_stream,
-                    eps_stream, lr0, lr_total, batch, t0=0):
+                    eps_stream, lr0, lr_total, batch, t0=0, n_total=None):
     """jnp oracle: same _step_math/_adam over injected offset/noise
     streams (parity tests; CPU path)."""
     n = x_packed.shape[0]
+    n_total = int(n_total if n_total is not None else n)
     x_pad = jnp.concatenate([x_packed, x_packed[:batch]], axis=0)
-    scale = n / batch
+    scale = n_total / batch
     m1, m2, v1, v2 = opt_state
 
     def step(carry, inp):

@@ -60,6 +60,7 @@ class FusedVAEDims(NamedTuple):
     h: int
     z: int
     b: int
+    n_total: int = 0     # global dataset size for DP shards (0 = local n)
 
 
 def leaf_shapes(dims: FusedVAEDims):
@@ -214,7 +215,9 @@ def _train_kernel(seed_ref, t0_ref, x_ref, *refs, dims, steps, lr,
         idx_scr, xb_scr = refs[6 * n_leaf + 1:]
 
     pltpu.prng_seed(seed_ref[0])
-    scale = dims.n / dims.b
+    # DP composition: subsample from the LOCAL shard, scale to the GLOBAL
+    # dataset so each device's objective is unbiased for the full ELBO
+    scale = (dims.n_total or dims.n) / dims.b
 
     params0 = tuple(r[...] for r in in_refs[:n_leaf])
     m0 = tuple(r[...] for r in in_refs[n_leaf:2 * n_leaf])
@@ -268,7 +271,7 @@ def _flatten(tree):
 
 def fused_train(x, params, m, v, *, steps, lr, seed, batch=256, t0=0,
                 gather="onehot", chunk=1000, compute_dtype="float32",
-                interpret=False):
+                n_total=None, interpret=False):
     """Run `steps` fused DLGM ELBO steps entirely on-chip.
 
     x (N,D) f32; params/m/v: dicts over LEAVES (see leaf_shapes);
@@ -288,7 +291,8 @@ def fused_train(x, params, m, v, *, steps, lr, seed, batch=256, t0=0,
     n, d = x.shape
     h = params["w1e"].shape[1]
     z = params["wmu"].shape[1]
-    dims = FusedVAEDims(n, d, h, z, int(batch))
+    dims = FusedVAEDims(n, d, h, z, int(batch),
+                        int(n_total) if n_total else 0)
     if interpret:
         # off-TPU oracle path: same math via reference_train (the in-kernel
         # TPU PRNG has no CPU lowering; the jax.random stream here is a
@@ -303,7 +307,8 @@ def fused_train(x, params, m, v, *, steps, lr, seed, batch=256, t0=0,
             idx = jax.random.randint(k1, (int(steps), int(batch)), 0, n)
         eps = jax.random.normal(k2, (int(steps), int(batch), z))
         return reference_train(x, params, m, v, idx_stream=idx,
-                               eps_stream=eps, lr=lr, t0=t0)
+                               eps_stream=eps, lr=lr, t0=t0,
+                               n_total=n_total)
     if gather == "block":
         x = jnp.concatenate([x, x[:dims.b]], axis=0)   # circular pad
         dpad = -(-d // 128) * 128                      # DMA lane alignment
@@ -372,13 +377,14 @@ def _fused_train(x, params, m, v, *, dims, steps, lr, seed, t0, gather,
 # jnp reference (the §4.7 parity oracle): same math, injected streams
 # ---------------------------------------------------------------------------
 
-def reference_train(x, params, m, v, *, idx_stream, eps_stream, lr, t0=0):
+def reference_train(x, params, m, v, *, idx_stream, eps_stream, lr, t0=0,
+                    n_total=None):
     """Scan the SAME `_step_math`+`_adam` over injected (steps,B) index and
     (steps,B,Z) noise streams — used to parity-test the kernel (which can
     also consume injected streams via `fused_train_injected`)."""
     n = x.shape[0]
     b = idx_stream.shape[1]
-    scale = n / b
+    scale = (int(n_total) if n_total else n) / b
     p = tuple(_flatten(params))
     mm = tuple(_flatten(m))
     vv = tuple(_flatten(v))

@@ -675,8 +675,77 @@ def run_scaling():
             "program, NOT a throughput measurement (real efficiency needs "
             "real chips)"
         )
-    return [_record("dlgm_dp_scaling", "scaling_efficiency", eff, "ratio",
+    recs = [_record("dlgm_dp_scaling", "scaling_efficiency", eff, "ratio",
                     rate_1dev=r1, rate_ndev=rn, **extra)]
+
+    # fused-trainer DP (VERDICT r2 item 3): segment-averaged hier trainer
+    # over the data axis vs the single-device fused trainer
+    from bayesic_tpu.models import hier_logistic as hl
+    from bayesic_tpu.ops import fused_hier as fh
+    from bayesic_tpu.parallel import make_mesh
+    from bayesic_tpu.parallel.dp_fused import segment_averaged_train
+
+    hcfg = hl.Config()
+    hx, hy, hgroup, _ = hl.make_data(hcfg)
+    nrows = (hx.shape[0] // (8 * n_dev)) * (8 * n_dev)
+    packed = fh.pack_data(hx, hy, hgroup)[
+        jax.random.permutation(jax.random.PRNGKey(8), hx.shape[0])][:nrows]
+    interp = jax.default_backend() != "tpu"
+    segments, sps = 20, 10
+    total = segments * sps
+    loc0, ls0 = fh.pack_params()
+    zz = jnp.zeros((1, 128), jnp.float32)
+    state0 = (loc0, ls0, (zz, zz, zz, zz))
+
+    def local_train(data_local, st, seed, t0):
+        loc, ls, opt = st
+        loc, ls, opt, losses = fh.fused_train(
+            data_local, loc, ls, opt, steps=sps, lr0=hcfg.lr,
+            lr_total=total, seed=seed, batch=hcfg.batch_size, t0=t0,
+            n_total=nrows, interpret=interp)
+        return (loc, ls, opt), losses
+
+    mesh_n = make_mesh({"data": n_dev})
+
+    def dp_rate():
+        holder = {"st": state0}
+
+        def rep(i):
+            t0 = time.perf_counter()
+            holder["st"], losses = segment_averaged_train(
+                local_train, holder["st"], packed, mesh_n,
+                segments=segments, steps_per_segment=sps, seed=i)
+            _force(losses)
+            return time.perf_counter() - t0
+
+        rep(0)   # warm/compile
+        med, _, _ = _median_protocol(rep, reps=3)
+        return total / med
+
+    def single_rate():
+        holder = {"st": state0}
+
+        def rep(i):
+            loc, ls, opt = holder["st"]
+            t0 = time.perf_counter()
+            loc, ls, opt, losses = fh.fused_train(
+                packed, loc, ls, opt, steps=total, lr0=hcfg.lr,
+                lr_total=total, seed=i, batch=hcfg.batch_size,
+                n_total=nrows, interpret=interp)
+            _force(losses)
+            holder["st"] = (loc, ls, opt)
+            return time.perf_counter() - t0
+
+        rep(0)
+        med, _, _ = _median_protocol(rep, reps=3)
+        return total / med
+
+    rf1, rfn = single_rate(), dp_rate()
+    recs.append(_record(
+        "hier_fused_dp_scaling", "scaling_efficiency",
+        rfn / (n_dev * rf1), "ratio", rate_1dev=rf1, rate_ndev=rfn,
+        segments=segments, steps_per_segment=sps, **extra))
+    return recs
 
 
 ALL = {
