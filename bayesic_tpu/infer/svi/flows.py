@@ -21,11 +21,19 @@ Layer k (u is the running vector, flip(u) between layers varies ordering):
 
 log q(u_K) = log N(eps; 0, I) - sum(base log_scale) - sum_k logdet_k.
 
-Sticking-the-landing note: STL needs log q with parameters stopped *at the
-sampled point*, which for a flow requires the sequential inverse pass; like
-NumPyro's AutoIAF this guide instead keeps the (unbiased, standard
-total-derivative) reparameterized estimator and ignores
-``stop_gradient_q`` — documented here so SVI(stl=True) semantics are clear.
+Sticking-the-landing (VERDICT r2 item 7): STL needs log q with parameters
+stopped *at the sampled point*, which for an IAF requires the sequential
+inverse pass.  ``FlowGuide(..., stl=True)`` implements it: the inverse of
+each layer is a ``lax.scan`` over coordinates (coordinate j's solve uses
+the already-recovered u_{<j} through the masked conditioner), so the cost
+is dim conditioner passes per layer — a fixed-depth masked scan that is
+cheap at guide dimensions and pays for itself in gradient variance near
+the optimum (where the STL estimator's variance -> 0).  Numerically the
+inverse at the stopped parameters recovers exactly the eps that generated
+the sample, so the logq VALUE is unchanged — only its gradient flows
+through the sample path alone.  With ``stl=False`` (default) the guide
+keeps the standard total-derivative estimator and ignores
+``stop_gradient_q`` (NumPyro AutoIAF behavior).
 """
 
 from __future__ import annotations
@@ -39,6 +47,12 @@ import numpy as np
 from .guides import _LOG_2PI, Guide, unraveler
 
 __all__ = ["FlowGuide"]
+
+
+def _set_coord(u, j, val):
+    """u[..., j] = val with a traced index (scan-friendly)."""
+    oh = jax.nn.one_hot(j, u.shape[-1], dtype=u.dtype)
+    return u * (1.0 - oh) + val[..., None] * oh
 
 
 def _made_masks(dim, hidden):
@@ -67,11 +81,13 @@ class FlowGuide(Guide):
     ``stats(params, key, num_draws)`` is Monte-Carlo (the pushforward has
     no closed-form moments)."""
 
-    def __init__(self, info, num_flows=2, hidden=(64, 64), init_scale=0.1):
+    def __init__(self, info, num_flows=2, hidden=(64, 64), init_scale=0.1,
+                 stl=False):
         self.dim, self.unravel, self.ravel = unraveler(info)
         self.num_flows = int(num_flows)
         self.hidden = tuple(int(h) for h in hidden)
         self.init_scale = float(init_scale)
+        self.stl = bool(stl)
         self._masks, self._out_mask = _made_masks(self.dim, self.hidden)
 
     # ------------------------------------------------------------------
@@ -124,12 +140,55 @@ class FlowGuide(Guide):
                 u = jnp.flip(u, axis=-1)
         return u, logq
 
+    def _inverse_layer(self, layer, y):
+        """Invert one gated-IAF layer: solve u from
+        y = g(u) * u + (1 - g(u)) * m(u) coordinate-by-coordinate.  The
+        conditioner is strictly autoregressive, so once u_{<j} is known,
+        (m_j, s_j) are exact and u_j solves in closed form."""
+
+        def step(u, j):
+            m, s = self._conditioner(layer, u)
+            g = jax.nn.sigmoid(s + 2.0)
+            yj = jnp.take(y, j, axis=-1)
+            gj = jnp.take(g, j, axis=-1)
+            mj = jnp.take(m, j, axis=-1)
+            uj = (yj - (1.0 - gj) * mj) / gj
+            u = _set_coord(u, j, uj)
+            return u, None
+
+        u, _ = jax.lax.scan(step, jnp.zeros_like(y),
+                            jnp.arange(self.dim))
+        return u
+
+    def log_prob_at(self, params, u):
+        """log q_params(u) for an ARBITRARY point via the sequential
+        inverse (the STL path; also useful for diagnostics)."""
+        logdet = 0.0
+        for k in range(self.num_flows - 1, -1, -1):
+            layer = params["flows"][k]
+            if k % 2 == 1:
+                u = jnp.flip(u, axis=-1)
+            u = self._inverse_layer(layer, u)
+            m, s = self._conditioner(layer, u)
+            g = jax.nn.sigmoid(s + 2.0)
+            logdet = logdet + jnp.sum(jnp.log(g), -1)
+            if k % 2 == 1:
+                u = jnp.flip(u, axis=-1)
+        eps = (u - params["loc"]) * jnp.exp(-params["log_scale"])
+        return jnp.sum(-0.5 * eps * eps - 0.5 * _LOG_2PI
+                       - params["log_scale"], -1) - logdet
+
     def sample_and_log_prob(self, params, key, sample_shape=(),
                             stop_gradient_q=False, ctx=None):
-        # stop_gradient_q intentionally ignored (see module docstring)
         eps = jax.random.normal(key, tuple(sample_shape) + (self.dim,),
                                 jnp.result_type(float))
         flat, logq = self._push(params, eps)
+        if stop_gradient_q and self.stl:
+            # STL: evaluate log q at the sample with guide params STOPPED;
+            # the inverse at the same parameter values recovers eps, so
+            # the value matches `_push`'s logq — only gradients differ
+            sg = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+            logq = self.log_prob_at(sg, flat)
         return self.unravel(flat), logq
 
     # ------------------------------------------------------------------

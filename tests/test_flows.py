@@ -115,3 +115,96 @@ def test_flow_beats_meanfield_on_correlated_posterior():
     assert abs(ref_corr) > 0.9            # the test target is meaningful
     assert abs(corr - ref_corr) < 0.1
     assert np.allclose(u.mean(0), mean, atol=0.15)
+
+
+# ---------------------------------------------------------------------------
+# STL path (VERDICT r2 item 7): sequential inverse + variance reduction
+# ---------------------------------------------------------------------------
+
+def _nontrivial_params(guide, key, scale=0.5):
+    params = guide.init(key)
+    for k, layer in enumerate(params["flows"]):
+        kk = jax.random.fold_in(key, 100 + k)
+        layer["w_out"] = scale * jax.random.normal(kk, layer["w_out"].shape)
+        layer["b_out"] = 0.1 * jax.random.normal(
+            jax.random.fold_in(kk, 1), layer["b_out"].shape)
+    params["loc"] = jax.random.normal(jax.random.fold_in(key, 7),
+                                      params["loc"].shape)
+    return params
+
+
+def test_inverse_recovers_eps_and_logq():
+    """log_prob_at(params, push(eps)) == logq from the forward push —
+    the sequential inverse is exact."""
+    d = 6
+    guide = FlowGuide(_toy_info(d), num_flows=3, hidden=(16,), stl=True)
+    params = _nontrivial_params(guide, KEY)
+    eps = jax.random.normal(jax.random.PRNGKey(4), (9, d))
+    u, logq_fwd = guide._push(params, eps)
+    logq_inv = guide.log_prob_at(params, u)
+    np.testing.assert_allclose(np.asarray(logq_inv), np.asarray(logq_fwd),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_stl_same_value_different_gradient():
+    """STL logq has the same VALUE as the standard estimator but its
+    gradient wrt guide params keeps only the path term."""
+    d = 4
+    info = _toy_info(d)
+    g_std = FlowGuide(info, num_flows=2, hidden=(16,), stl=False)
+    g_stl = FlowGuide(info, num_flows=2, hidden=(16,), stl=True)
+    params = _nontrivial_params(g_std, KEY)
+    key = jax.random.PRNGKey(5)
+
+    def logq_fn(guide):
+        def f(p):
+            _, logq = guide.sample_and_log_prob(p, key, (3,),
+                                                stop_gradient_q=True)
+            return jnp.sum(logq)
+        return f
+
+    v_std, g1 = jax.value_and_grad(logq_fn(g_std))(params)
+    v_stl, g2 = jax.value_and_grad(logq_fn(g_stl))(params)
+    np.testing.assert_allclose(float(v_std), float(v_stl), rtol=2e-4)
+    # gradients must differ (the score term is dropped in STL)
+    diffs = [float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2))]
+    assert max(diffs) > 1e-4
+
+
+def test_stl_reduces_gradient_variance_near_optimum():
+    """Fit an IAF to a correlated Gaussian (exactly expressible), then
+    compare per-key ELBO-gradient variance: STL << standard near the
+    optimum (the STL estimator's variance -> 0 there)."""
+    d = 2
+    cov = jnp.asarray([[1.0, 0.9], [0.9, 1.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def model():
+        sample("z", dist.MultivariateNormal(jnp.zeros(d), cov).to_event(0))
+
+    info, _, _, _ = build_logjoint(model)
+
+    def make_svi(stl):
+        return SVI(model, lambda i: FlowGuide(i, num_flows=2, hidden=(16,),
+                                              stl=stl),
+                   optax.adam(0.01), stl=stl)
+
+    svi = make_svi(True)
+    res = svi.run(jax.random.PRNGKey(0), 3000)
+    params = res.params
+
+    def grad_one(svi_obj, k):
+        return jax.grad(lambda p: svi_obj.elbo(p, k))(params)
+
+    keys = jax.random.split(jax.random.PRNGKey(9), 256)
+    svi_std, svi_stl = make_svi(False), make_svi(True)
+    g_std = jax.vmap(lambda k: grad_one(svi_std, k))(keys)
+    g_stl = jax.vmap(lambda k: grad_one(svi_stl, k))(keys)
+
+    def total_var(g):
+        return sum(float(jnp.var(x, axis=0).sum())
+                   for x in jax.tree_util.tree_leaves(g))
+
+    v_std, v_stl = total_var(g_std), total_var(g_stl)
+    assert v_stl < 0.5 * v_std, (v_stl, v_std)

@@ -153,3 +153,84 @@ def test_chain_ldj():
                                np.asarray(ldj_ad), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(t.inverse(t.forward(u))),
                                np.asarray(u), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# pytree / retrace regression (VERDICT r2 item 6): freshly built transforms
+# and TransformedDistributions crossing a jit boundary must NOT retrace
+# ---------------------------------------------------------------------------
+
+def test_transforms_structural_equality():
+    assert tf.Exp() == tf.Exp()
+    assert hash(tf.Exp()) == hash(tf.Exp())
+    assert tf.Exp() != tf.Softplus()
+    assert tf.Interval(0.0, 1.0) == tf.Interval(0.0, 1.0)
+    assert tf.Interval(0.0, 1.0) != tf.Interval(0.0, 2.0)
+    assert tf.Chain(tf.Exp(), tf.Affine(1.0, 2.0)) == \
+        tf.Chain(tf.Exp(), tf.Affine(1.0, 2.0))
+    assert tf.Chain(tf.Exp()) != tf.Chain(tf.Softplus())
+
+
+def test_transform_is_pytree():
+    t = tf.Interval(jnp.asarray(0.5), jnp.asarray(2.5))
+    leaves, treedef = jax.tree_util.tree_flatten(t)
+    assert len(leaves) == 2
+    t2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert float(t2.forward(jnp.asarray(0.0))) == float(
+        t.forward(jnp.asarray(0.0)))
+    # stateless transforms flatten to no leaves, structure-only
+    assert jax.tree_util.tree_leaves(tf.Exp()) == []
+
+
+def test_no_retrace_fresh_transformed_distribution():
+    from bayesic_tpu import dist
+
+    calls = {"n": 0}
+
+    @jax.jit
+    def logp(d, x):
+        calls["n"] += 1
+        return d.log_prob(x)
+
+    x = jnp.asarray(1.5)
+    vals = []
+    for i in range(3):
+        d = dist.TransformedDistribution(dist.Normal(0.0, 1.0), tf.Exp())
+        vals.append(float(logp(d, x)))
+    assert calls["n"] == 1, f"retraced {calls['n']} times"
+    assert vals[0] == vals[1] == vals[2]
+
+
+def test_no_retrace_parametrized_chain():
+    from bayesic_tpu import dist
+
+    calls = {"n": 0}
+
+    @jax.jit
+    def logp(d, x):
+        calls["n"] += 1
+        return d.log_prob(x)
+
+    x = jnp.asarray(1.5)
+    for lo in (0.0, 1.0, 2.0):   # param VALUES are leaves: no retrace
+        d = dist.TransformedDistribution(
+            dist.Normal(0.0, 1.0),
+            tf.Chain(tf.Exp(), tf.Affine(jnp.asarray(lo), jnp.asarray(1.0))))
+        logp(d, x)
+    assert calls["n"] == 1, f"retraced {calls['n']} times"
+
+
+def test_no_retrace_biject_to():
+    from bayesic_tpu.dist import constraints
+
+    calls = {"n": 0}
+
+    @jax.jit
+    def fwd(t, u):
+        calls["n"] += 1
+        return t.forward(u)
+
+    u = jnp.asarray(0.3)
+    for _ in range(3):
+        fwd(tf.biject_to(constraints.positive), u)
+    assert calls["n"] == 1
