@@ -84,7 +84,8 @@ class SMC:
                  hmc_leapfrog_steps=5, max_stages=100, init_step_size=0.2,
                  target_accept=0.65, model_args=(), model_kwargs=None,
                  particle_sharding=None, batched_loglik=None,
-                 batched_loglik_grad=None, precondition=False):
+                 batched_loglik_grad=None, precondition=False,
+                 step_adapt="da"):
         self.model = model
         self.n = int(num_particles)
         self.ess_target = float(ess_target)
@@ -100,6 +101,22 @@ class SMC:
         # ill-scaled targets).  Off by default: on multimodal targets the
         # cross-mode variance inflates the per-dimension scale.
         self.precondition = bool(precondition)
+        # Mutation step-size control (VERDICT r2 item 8):
+        #   "da"    — per-stage dual averaging: a fresh DA run inside each
+        #             stage's K transitions (shrinkage target mu = the
+        #             carried step, not Stan's 10x — we are tracking a
+        #             slowly-moving tempered target, not exploring), with
+        #             the Polyak average carried to the next stage.  Can
+        #             move the step orders of magnitude within one stage.
+        #   "nudge" — legacy once-per-stage multiplicative update
+        #             exp(0.5*(accept-target)); at most e^{+-0.5} per
+        #             stage, so it collapses on targets whose posterior
+        #             scale is far from init_step_size (kept for
+        #             comparison; tests/test_smc.py demonstrates).
+        if step_adapt not in ("da", "nudge"):
+            raise ValueError(f"step_adapt must be 'da' or 'nudge', got "
+                             f"{step_adapt!r}")
+        self.step_adapt = step_adapt
         self._model_args = model_args
         self._model_kwargs = model_kwargs or {}
 
@@ -196,8 +213,11 @@ class SMC:
         """K HMC transitions targeting p_beta, computed on the whole
         particle batch at once (so hand-fused batched densities — Pallas
         kernels — apply).  ``m_inv`` is the diagonal inverse mass (per-dim
-        scale², e.g. the weighted particle variance).  Returns
-        (q, mean accept)."""
+        scale², e.g. the weighted particle variance).  The step size
+        adapts ACROSS the K transitions per ``self.step_adapt`` (see
+        __init__).  Returns (q, mean accept, next-stage step size)."""
+        from ..mcmc.adapt import DualAveragingState, da_update
+
         if m_inv is None:
             m_inv = jnp.ones((self.dim,), q.dtype)
         sqrt_m = 1.0 / jnp.sqrt(m_inv)
@@ -226,7 +246,8 @@ class SMC:
             return pe, g
 
         def one_hmc(carry, t):
-            qs, acc_sum = carry
+            qs, acc_sum, da = carry
+            step_size = jnp.exp(da.log_step)
             key_t = jax.random.fold_in(key, t)
             k_mom, k_acc = jax.random.split(key_t)
             p0 = jax.random.normal(k_mom, qs.shape, qs.dtype) * sqrt_m
@@ -253,12 +274,27 @@ class SMC:
             a = jnp.minimum(1.0, jnp.exp(-delta))                 # (P,)
             take = jax.random.uniform(k_acc, a.shape) < a
             qs = jnp.where(take[:, None], qe, qs)
-            return (qs, acc_sum + jnp.mean(a)), None
+            if self.step_adapt == "da":
+                da = da_update(da, jnp.mean(a),
+                               target=self.target_accept, t0=2.0)
+            return (qs, acc_sum + jnp.mean(a), da), None
 
-        (q_new, acc_sum), _ = lax.scan(
-            one_hmc, (q, jnp.zeros(())), jnp.arange(self.mutation_steps)
+        log_eps0 = jnp.log(step_size)
+        zero = jnp.zeros_like(log_eps0)
+        # mu = log(carried step): shrink toward where the last stage
+        # settled (tracking, not exploration)
+        da0 = DualAveragingState(log_eps0, log_eps0, zero, zero, log_eps0)
+        (q_new, acc_sum, da), _ = lax.scan(
+            one_hmc, (q, jnp.zeros(()), da0),
+            jnp.arange(self.mutation_steps)
         )
-        return q_new, acc_sum / self.mutation_steps
+        accept = acc_sum / self.mutation_steps
+        if self.step_adapt == "da":
+            next_step = jnp.exp(da.log_step_avg)
+        else:
+            next_step = step_size * jnp.exp(
+                0.5 * (accept - self.target_accept))
+        return q_new, accept, jnp.clip(next_step, 1e-5, 2.0)
 
     # ------------------------------------------------------------------
     def run(self, key, jit=True, stage_chunk=8) -> SMCResult:
@@ -342,12 +378,8 @@ class SMC:
                 m_inv = jnp.clip(var, 1e-8, 1e8)
             else:
                 m_inv = None
-            q, accept = self._mutate(k_mut, q, new_beta, c.step_size,
-                                     m_inv)
-            step_size = c.step_size * jnp.exp(
-                0.5 * (accept - self.target_accept)
-            )
-            step_size = jnp.clip(step_size, 1e-4, 2.0)
+            q, accept, step_size = self._mutate(k_mut, q, new_beta,
+                                                c.step_size, m_inv)
 
             return _SMCCarry(
                 q, log_w, new_beta, c.log_evidence + log_ev_inc,

@@ -121,3 +121,35 @@ def test_smc_preconditioned_mutation_ill_scaled_target():
     est_std = np.sqrt((w[:, None] * z**2).sum(0))
     np.testing.assert_allclose(est_std, scales, rtol=0.25)
     assert float(res.accept_rate) > 0.3
+
+
+def test_da_step_adaptation_survives_ill_scaled_target():
+    """VERDICT r2 item 8: a posterior whose scale is ~100x smaller than
+    init_step_size.  The legacy once-per-stage multiplicative nudge can
+    shrink the step by at most e^{0.5} per stage and collapses (accept ~0
+    when tempering finishes first); per-stage dual averaging moves the
+    step within the stage and holds acceptance near target."""
+    import functools
+
+    scale = 0.005
+
+    def model():
+        z = sample("z", dist.Normal(0.0, 1.0).expand((4,)).to_event(1))
+        sample("obs", dist.Normal(z, scale).to_event(1),
+               obs=jnp.zeros(4))
+
+    make = functools.partial(SMC, model, num_particles=512,
+                             mutation_steps=5, hmc_leapfrog_steps=3,
+                             init_step_size=0.5, max_stages=40)
+    res_da = make(step_adapt="da").run(jax.random.PRNGKey(0))
+    res_nudge = make(step_adapt="nudge").run(jax.random.PRNGKey(0))
+
+    acc_da = float(res_da.accept_rate)
+    acc_nudge = float(res_nudge.accept_rate)
+    assert acc_da > 0.35, f"DA acceptance collapsed: {acc_da}"
+    assert acc_nudge < acc_da - 0.2, (
+        f"nudge unexpectedly kept up: nudge={acc_nudge}, da={acc_da}")
+    # and the DA run actually lands on the posterior (z ~ N(0, ~scale))
+    z = res_da.particles["z"]
+    assert float(jnp.abs(jnp.mean(z))) < 0.02
+    assert float(jnp.std(z)) < 5 * scale
