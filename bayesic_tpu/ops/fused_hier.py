@@ -185,7 +185,7 @@ def _lr_at(t, lr0, total):
 def _train_kernel(seed_ref, t0_ref, x_ref, loc_ref, ls_ref,
                   m1_ref, m2_ref, v1_ref, v2_ref,
                   losses_ref, loc_out, ls_out, m1o, m2o, v1o, v2o,
-                  *, n, n_total, b, steps, lr0, lr_total):
+                  *, n, n_total, b, steps, lr0, lr_total, thin):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -206,7 +206,7 @@ def _train_kernel(seed_ref, t0_ref, x_ref, loc_ref, ls_ref,
         lr = _lr_at(t, lr0, lr_total)
         loc, m1, v1 = _adam(loc, m1, v1, g_loc, t + 1.0, lr)
         ls, m2, v2 = _adam(ls, m2, v2, g_ls, t + 1.0, lr)
-        losses_ref[pl.ds(i, 1), :] = (-elbo).reshape(1, 1)
+        losses_ref[pl.ds(i // thin, 1), :] = (-elbo).reshape(1, 1)
         return loc, ls, m1, m2, v1, v2
 
     out = jax.lax.fori_loop(
@@ -225,8 +225,13 @@ def _fused_train(x_pad, loc, ls, m1, m2, v1, v2, *, n, n_total, b, steps,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # thin the loss trace so its VMEM buffer stays small next to the
+    # VMEM-resident dataset (the fused_linreg rule: ~100k f32 rows ~ 8 MB)
+    loss_len = min(steps, 2048)
+    thin = -(-steps // loss_len)
     kernel = functools.partial(_train_kernel, n=n, n_total=n_total, b=b,
-                               steps=steps, lr0=lr0, lr_total=lr_total)
+                               steps=steps, lr0=lr0, lr_total=lr_total,
+                               thin=thin)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     pshape = jax.ShapeDtypeStruct((1, 128), jnp.float32)
     outs = pl.pallas_call(
@@ -238,8 +243,9 @@ def _fused_train(x_pad, loc, ls, m1, m2, v1, v2, *, n, n_total, b, steps,
             out_specs=tuple([vmem()] * 7),
             scratch_shapes=[],
         ),
-        out_shape=tuple([jax.ShapeDtypeStruct((steps, 1), jnp.float32)]
-                        + [pshape] * 6),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((-(-steps // thin), 1), jnp.float32)]
+            + [pshape] * 6),
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1),
       jnp.asarray(t0, jnp.int32).reshape(1),

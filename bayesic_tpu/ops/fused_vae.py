@@ -197,7 +197,7 @@ def _gather_loop(x_ref, idx_scr, xb_scr, dims):
 # ---------------------------------------------------------------------------
 
 def _train_kernel(seed_ref, t0_ref, x_ref, *refs, dims, steps, lr,
-                  gather, chunk, mm_dtype):
+                  gather, chunk, mm_dtype, thin):
     """refs = 33 param/m/v input refs, then (losses_ref, 33 out refs),
     then scratch (idx_scr, xb_scr[, dma_sem])."""
     from jax.experimental import pallas as pl
@@ -253,7 +253,7 @@ def _train_kernel(seed_ref, t0_ref, x_ref, *refs, dims, steps, lr,
                                  mm_dtype=mm_dtype)
         t = (t0_ref[0] + i + 1).astype(jnp.float32)
         params, m, v = _adam(params, m, v, grads, t, lr)
-        losses_ref[pl.ds(i, 1), :] = (-elbo).reshape(1, 1)
+        losses_ref[pl.ds(i // thin, 1), :] = (-elbo).reshape(1, 1)
         return params, m, v
 
     params, m, v = jax.lax.fori_loop(0, steps, body, (params0, m0, v0))
@@ -332,15 +332,19 @@ def _fused_train(x, params, m, v, *, dims, steps, lr, seed, t0, gather,
     from jax.experimental.pallas import tpu as pltpu
 
     n_leaf = len(LEAVES)
+    # thin long loss traces (the fused_linreg VMEM rule)
+    loss_len = min(steps, 2048)
+    thin = -(-steps // loss_len)
     kernel = functools.partial(
         _train_kernel, dims=dims, steps=steps, lr=lr, gather=gather,
         chunk=chunk,
         mm_dtype=jnp.bfloat16 if compute_dtype == "bfloat16"
-        else jnp.float32)
+        else jnp.float32, thin=thin)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
               for p in params]
-    out_shape = ([jax.ShapeDtypeStruct((steps, 1), jnp.float32)]
+    out_shape = ([jax.ShapeDtypeStruct((-(-steps // thin), 1),
+                                       jnp.float32)]
                  + shapes * 3)
     scratch = [pltpu.VMEM((dims.b, 1), jnp.int32),
                pltpu.VMEM((dims.b, dims.d), jnp.float32)]

@@ -34,7 +34,17 @@ def autocovariance(x, axis=-1):
 def ess(x):
     """Effective sample size of ``x`` shaped (n_chains, n_samples, ...)
     using Stan's multi-chain rho_hat with Geyer initial-monotone-positive
-    truncation.  Returns ESS with shape ``x.shape[2:]``."""
+    truncation.  Returns ESS with shape ``x.shape[2:]``.
+
+    ESS CAN EXCEED the draw count: an antithetic sampler (NUTS chains
+    routinely are — multinomial trajectory sampling induces negative
+    lag-1 autocorrelation) has integrated autocorrelation time tau < 1,
+    and this estimator (like Stan's) reports it faithfully, flooring tau
+    at 1/log10(n) rather than 1.  Validated against the analytic AR(1)
+    oracle tau = (1+rho)/(1-rho) for rho < 0 in
+    tests/test_diagnostics_ess.py.  Benchmark records additionally carry
+    a ``min_ess_capped`` companion (clipped at the draw count) so rate
+    comparisons can't be flattered by estimator behavior."""
     x = jnp.asarray(x)
     if x.ndim == 1:
         x = x[None]

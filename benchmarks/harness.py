@@ -99,11 +99,14 @@ def _median_protocol(rep_fn, reps=REPS):
     Contention handling: the TPU worker is a shared remote tenant, and
     another tenant saturating the chip shows up as one-sided slowdowns
     (observed up to 20x; local load_avg cannot see it).  If the spread of
-    the fastest ``reps`` times exceeds 25%, keep adding reps (up to
-    3*reps) until that window is clean, then report the median of the
+    the fastest ``reps`` times exceeds the target (5% — VERDICT r2 item 5:
+    every shipped record must carry a clean window), keep adding reps (up
+    to 5*reps) until that window is clean, then report the median of the
     fastest ``reps`` — contention only ever slows a rep, never speeds it,
     so the fastest window is the least contaminated sample.  ``spread`` is
-    reported for the kept window; the record carries total reps run."""
+    reported for the kept window; the record carries total reps run, so a
+    record whose spread still exceeds the target after 5*reps is visibly
+    marked by reps==5*REPS."""
     times = [rep_fn(i) for i in range(reps)]
 
     def window_spread(ts):
@@ -113,7 +116,7 @@ def _median_protocol(rep_fn, reps=REPS):
         return kept, med, sp
 
     kept, med, spread = window_spread(times)
-    while spread > 0.25 and len(times) < 3 * reps:
+    while spread > 0.05 and len(times) < 5 * reps:
         times.append(rep_fn(len(times)))
         kept, med, spread = window_spread(times)
     return med, spread, times
@@ -239,13 +242,25 @@ def bench_nuts_ess(name, mcmc, key, segmented=None, reps=REPS,
     i_med = int(np.argmin([abs(t - med) for t in times]))
     min_ess, max_rhat, dt, mean_steps, div = stats[i_med]
     rate = min_ess / dt / jax.device_count()
+    # super-unity ESS note (VERDICT r2 item 9): min-ESS can exceed the
+    # draw count — NUTS chains are ANTITHETIC (negative lag-1
+    # autocorrelation), and the Geyer estimator correctly reports
+    # tau < 1 then (validated against an analytic AR(1) oracle in
+    # tests/test_diagnostics_ess.py).  The capped companion is reported
+    # so cross-round comparisons can't be flattered by estimator
+    # behavior: `min_ess_capped` clips at chains*samples.
+    n_draws = mcmc.num_chains * mcmc.num_samples
     rec = _record(name, "ess_per_s_per_chip", rate, "ess/s/chip",
                   min_ess=min_ess, max_rhat=round(max_rhat, 4),
                   converged=bool(max_rhat < rhat_gate), wall_s=round(dt, 2),
                   reps=len(times), spread=round(spread, 4),
                   chains=mcmc.num_chains, samples=mcmc.num_samples,
                   warmup=mcmc.num_warmup, divergences=div,
-                  mean_tree_steps=round(mean_steps, 1))
+                  mean_tree_steps=round(mean_steps, 1),
+                  min_ess_capped=min(min_ess, n_draws),
+                  ess_per_draw=round(min_ess / n_draws, 3),
+                  ess_capped_per_s_per_chip=round(
+                      min(min_ess, n_draws) / dt / jax.device_count(), 1))
     if cost_per_leapfrog is not None:
         total_leapfrogs = mean_steps * (mcmc.num_warmup + mcmc.num_samples)
         f, b = cost_per_leapfrog
@@ -277,7 +292,10 @@ def run_linreg():
     if jax.default_backend() == "tpu":
         from bayesic_tpu.ops import fused_linreg as fl
 
-        steps_f = _steps(500_000)
+        # 1.5M steps/rep: at ~1.3M steps/s the rep wall is >=1 s, which the
+        # protocol needs for a clean window (r2 shipped linreg_fused with
+        # spread 0.21 off 0.4 s reps — VERDICT r2 weak item 2)
+        steps_f = _steps(1_500_000)
         packed = fl.pack_data(x, y)
         loc0, ls0 = fl.pack_params(cfg.dim)
         zz = jnp.zeros((1, 128), jnp.float32)
@@ -321,7 +339,7 @@ def run_hier_logistic():
     if jax.default_backend() == "tpu":
         from bayesic_tpu.ops import fused_hier as fh
 
-        steps_f = _steps(100_000)
+        steps_f = _steps(500_000)   # ~1 s/rep at the measured 455k steps/s
         packed = fh.pack_data(x, y, group)
         packed = packed[jax.random.permutation(jax.random.PRNGKey(8),
                                                x.shape[0])]
@@ -545,7 +563,7 @@ def run_dlgm():
     from bayesic_tpu.ops import fused_vae as fv
 
     if jax.default_backend() == "tpu":   # interpret mode is no perf point
-        steps_f = _steps(20_000)
+        steps_f = _steps(60_000)    # ~1 s/rep at the measured 55.6k steps/s
         xs = x[jax.random.permutation(jax.random.PRNGKey(8), cfg.num_data)]
         fp, fm, fvv = fused_init(cfg, jax.random.PRNGKey(0))
         holder_f = {"p": fp, "m": fm, "v": fvv, "t0": 0}
@@ -565,53 +583,28 @@ def run_dlgm():
         recs.append(rec_f)
 
     # the 1024-sharded-chain NUTS variant (configs[4]) with pooled
-    # cross-chain adaptation
+    # cross-chain adaptation, held to the hier_logistic standard (VERDICT
+    # r2 item 5): routed through bench_nuts_ess — R-hat gate, divergence
+    # count, capped-ESS companion — on a 64-row local-posterior batch
+    # (512-dim latent per chain)
     out = dlgm.run_svi(dlgm.Config(num_data=2048, data_dim=32,
                                    latent_dim=8, hidden=64, batch_size=256,
                                    steps=_steps(200)))
-    n_chains = 1024
     from bayesic_tpu.models.dlgm import local_posterior_mcmc
-    from bayesic_tpu.utils import diagnostics as diag
 
+    n_chains = 256 if SMOKE else 1024
+    n_rows = 8 if SMOKE else 64
     cfg2 = dlgm.Config(num_data=2048, data_dim=32, latent_dim=8, hidden=64,
                        num_chains=n_chains, num_warmup=_steps(200),
                        num_samples=_steps(200))
-
-    holder = {}
-
-    def once(k):
-        # build the MCMC ONCE and reuse its cached compiled program —
-        # constructing a fresh instance per rep would re-trace every rep
-        if "mcmc" not in holder:
-            holder["mcmc"], res = local_posterior_mcmc(
-                cfg2, out["decoder"], out["decoder_params"], out["sigma_x"],
-                out["x"][:4], k,
-            )
-            return res
-        return holder["mcmc"].run(k)
-
-    once(jax.random.PRNGKey(2))   # compile/warm
-
-    stats = []
-
-    def rep(i):
-        k = jax.random.PRNGKey(200 + i)
-        t0 = time.perf_counter()
-        res = once(k)
-        qs = res.unconstrained
-        _force(qs)
-        dt = time.perf_counter() - t0
-        ess = diag.ess(qs.reshape(qs.shape[0], qs.shape[1], -1))
-        stats.append((float(jnp.min(ess)), dt))
-        return dt
-
-    med, spread, times = _median_protocol(rep)
-    i_med = int(np.argmin([abs(t - med) for t in times]))
-    ess, dt = stats[i_med]
-    recs.append(_record("dlgm_nuts", "ess_per_s_per_chip",
-                        ess / dt / jax.device_count(), "ess/s/chip",
-                        chains=n_chains, min_ess=ess, wall_s=round(dt, 2),
-                        reps=len(times), spread=round(spread, 4)))
+    mcmc2, _ = local_posterior_mcmc(
+        cfg2, out["decoder"], out["decoder_params"], out["sigma_x"],
+        out["x"][:n_rows], jax.random.PRNGKey(2))
+    recs.append(bench_nuts_ess(
+        "dlgm_nuts", mcmc2, jax.random.PRNGKey(2),
+        cost_per_leapfrog=roofline.dlgm_nuts_leapfrog(
+            n_rows, cfg2.latent_dim, cfg2.hidden, cfg2.data_dim,
+            n_chains)))
     return recs
 
 
@@ -812,12 +805,39 @@ def main():
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler trace (TensorBoard/"
                          "Perfetto) of the run into LOGDIR (SURVEY.md §5)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "pins jax_platforms='axon,cpu' at interpreter "
+                         "start, so the env var alone cannot opt out of "
+                         "the remote-TPU tunnel — this flag can)")
+    ap.add_argument("--selftest", action="store_true",
+                    help="on-TPU correctness gate for the fused trainer "
+                         "tier (SURVEY.md §4.7): run each Mosaic-compiled "
+                         "trainer with its real on-core PRNG stream to "
+                         "convergence and assert posterior/loss agreement "
+                         "with the analytic or XLA-path oracle; exits "
+                         "nonzero on any failure (CPU falls back to "
+                         "interpret mode)")
     ap.add_argument("--fault-inject", default=None, metavar="step=K",
                     help="run the SURVEY.md §5 failure-recovery scenario: "
                          "2 local processes, one killed at step K, restart "
                          "from checkpoint, assert bit-identical recovery")
     args = ap.parse_args()
     SMOKE = args.smoke
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.selftest:
+        import sys
+
+        from benchmarks.selftest import run_selftest
+
+        recs, ok = run_selftest()
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(recs, f, indent=2)
+        if not ok:
+            sys.exit(1)
+        return recs
     if args.fault_inject:
         kv = dict(item.split("=") for item in args.fault_inject.split(","))
         from benchmarks.fault_inject import run_fault_inject

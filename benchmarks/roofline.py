@@ -78,6 +78,17 @@ def hier_logistic_nuts_leapfrog(n_obs, num_features, num_chains):
     return flops, bytes_
 
 
+def dlgm_nuts_leapfrog(n_rows, latent_dim, hidden, data_dim, num_chains):
+    """One leapfrog across all chains of the local-posterior NUTS: decoder
+    forward + backward (~3x fwd) on (n_rows, latent) -> (n_rows, data)."""
+    dec = _mm(n_rows, hidden, latent_dim) + _mm(n_rows, data_dim, hidden)
+    flops = num_chains * 3.0 * dec
+    n_params = latent_dim * hidden + hidden * data_dim
+    bytes_ = 4 * (n_params + num_chains * n_rows
+                  * (latent_dim * 2 + data_dim))
+    return flops, bytes_
+
+
 def matrix_fact_svi(batch, num_factors, num_users, num_items):
     """MXU one-hot gather formulation: two (B x U/I) @ (U/I x K) matmuls +
     backward."""
