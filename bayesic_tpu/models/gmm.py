@@ -147,17 +147,19 @@ def predictive_loglik(res, x, cfg, num_particles_eval=256):
     return float(avg.mean())
 
 
-def run(cfg: Config, key=None, particle_sharding=None, use_pallas=None):
+def run(cfg: Config, key=None, particle_sharding=None, use_pallas=None,
+        smc_kwargs=None):
     if cfg.smoke:
         cfg = dataclasses.replace(cfg, num_data=200, num_particles=512,
                                   mutation_steps=2, leapfrog_steps=3)
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     x, truth = make_data(cfg)
     model = make_model(cfg, x)
+    smc_kwargs = smc_kwargs or {}
     smc = SMC(model, num_particles=cfg.num_particles,
               mutation_steps=cfg.mutation_steps,
               hmc_leapfrog_steps=cfg.leapfrog_steps,
-              particle_sharding=particle_sharding)
+              particle_sharding=particle_sharding, **smc_kwargs)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
@@ -168,7 +170,8 @@ def run(cfg: Config, key=None, particle_sharding=None, use_pallas=None):
                   batched_loglik=make_batched_loglik(
                       smc.info, smc._unravel, x),
                   batched_loglik_grad=make_batched_loglik_grad(
-                      smc.info, smc._unravel, smc._ravel, x))
+                      smc.info, smc._unravel, smc._ravel, x),
+                  **smc_kwargs)
 
     if cfg.bench:
         res, dt = timed_steps(lambda: smc.run(key), warmup_runs=1,

@@ -146,12 +146,20 @@ def test_smc_mutation_fused_path_matches_vjp():
 
 def test_smc_with_batched_pallas_loglik(pallas_interpret):
     """End-to-end: GMM SMC with the fused kernel likelihood must match the
-    vmap-of-replay likelihood (same seed => same tempering path)."""
+    vmap-of-replay likelihood (same seed => same tempering path).
+
+    Pinned to the deterministic 'nudge' step adapter: the default
+    dual-averaging adapter feeds acceptance statistics back into the step
+    size continuously, so the last-ulp differences between the Pallas and
+    jnp likelihoods get amplified into genuinely different trajectories —
+    the tight tolerances here are only meaningful when the two runs follow
+    the SAME tempering path."""
     from bayesic_tpu.models import gmm
 
     cfg = gmm.Config(smoke=True)
-    out_ref = gmm.run(cfg, use_pallas=False)
-    out_pal = gmm.run(cfg, use_pallas=True)
+    kw = {"smc_kwargs": {"step_adapt": "nudge"}}
+    out_ref = gmm.run(cfg, use_pallas=False, **kw)
+    out_pal = gmm.run(cfg, use_pallas=True, **kw)
     np.testing.assert_allclose(out_pal["log_evidence"],
                                out_ref["log_evidence"], rtol=1e-3, atol=0.2)
     assert out_pal["num_stages"] == out_ref["num_stages"]
