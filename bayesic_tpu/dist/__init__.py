@@ -34,6 +34,7 @@ from .compound import (BetaBinomial, Censored, DirichletMultinomial,
                        ZeroInflatedDistribution,
                        ZeroInflatedNegativeBinomial, ZeroInflatedPoisson)
 from .hmm import HiddenMarkovModel
+from .lgss import LinearGaussianStateSpace
 from .mixture import MixtureSameFamily
 from .multivariate import Dirichlet, LKJCholesky, MultivariateNormal
 from .transforms import biject_to
@@ -82,5 +83,6 @@ __all__ = [
     "ZeroInflatedPoisson",
     "ZeroInflatedNegativeBinomial",
     "HiddenMarkovModel",
+    "LinearGaussianStateSpace",
     "MixtureSameFamily",
 ]
