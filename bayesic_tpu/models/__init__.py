@@ -1,4 +1,5 @@
 """The five reference example models (SURVEY.md C16-C20, BASELINE
 configs) plus the round-2 GP regression example."""
 
-from . import dlgm, gmm, gp, hier_logistic, linreg, matrix_fact  # noqa: F401
+from . import (dlgm, gmm, gp, hier_logistic, linreg, matrix_fact,  # noqa: F401
+               sts)
