@@ -2,12 +2,13 @@
 
 from .elbo import draw_subsample, make_elbo
 from .flows import FlowGuide
-from .guides import (FullRankGuide, Guide, MeanFieldGuide, NeuralGuide,
-                     TraceGuide, unraveler)
+from .guides import (FullRankGuide, Guide, LowRankGuide, MeanFieldGuide,
+                     NeuralGuide, TraceGuide, unraveler)
 from .svi import SVI, SVIResult, SVIState
 
 __all__ = [
     "SVI", "SVIResult", "SVIState", "make_elbo", "draw_subsample",
-    "Guide", "MeanFieldGuide", "FullRankGuide", "FlowGuide", "NeuralGuide",
+    "Guide", "MeanFieldGuide", "FullRankGuide", "LowRankGuide", "FlowGuide",
+    "NeuralGuide",
     "TraceGuide", "unraveler",
 ]

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ...dist.transforms import LowerCholeskyTransform
 
 __all__ = ["unraveler", "Guide", "MeanFieldGuide", "FullRankGuide",
-           "NeuralGuide", "TraceGuide"]
+           "LowRankGuide", "NeuralGuide", "TraceGuide"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -166,6 +166,103 @@ class FullRankGuide(Guide):
     def covariance(self, params):
         chol = self._chol(params)
         return chol @ chol.T
+
+
+class LowRankGuide(Guide):
+    """Low-rank-plus-diagonal Gaussian q(u) = N(loc, W W^T + diag(d^2)),
+    W in R^{dim x rank} (SURVEY.md C6 — the middle ground between
+    MeanFieldGuide and FullRankGuide: captures the ``rank`` dominant
+    posterior correlation directions at O(dim*rank) parameters/memory
+    instead of O(dim^2), which is what makes correlated guides viable at
+    the dimensions where FullRankGuide's Cholesky no longer fits).
+
+    Density and entropy use the Woodbury identity and the matrix
+    determinant lemma so every step is O(dim*rank^2) with one (rank,rank)
+    Cholesky — no dim x dim matrix is ever formed:
+
+      cap      = I_r + W^T D^{-1} W                (D = diag(d^2))
+      logdet Σ = logdet(cap) + sum log d^2
+      Σ^{-1} x = D^{-1} x - D^{-1} W cap^{-1} W^T D^{-1} x
+    """
+
+    def __init__(self, info, rank=2, init_scale=0.1):
+        self.dim, self.unravel, self.ravel = unraveler(info)
+        self.rank = int(rank)
+        if not 0 < self.rank <= self.dim:
+            raise ValueError(
+                f"rank must be in [1, dim={self.dim}], got {rank}")
+        self.init_scale = float(init_scale)
+
+    def init(self, key, loc=None):
+        if loc is None:
+            loc = jnp.zeros(self.dim)
+        else:
+            loc = self.ravel(loc) if isinstance(loc, dict) else loc
+        # W = 0 is a saddle point of the ELBO (dΣ = dW·Wᵀ + W·dWᵀ vanishes
+        # there, so the gradient is ∝ W and escape is exponentially slow);
+        # break the symmetry with a factor sized so the low-rank part
+        # contributes ~10% of the initial marginal variance
+        w = (0.3 * self.init_scale / math.sqrt(self.rank)) \
+            * jax.random.normal(key, (self.dim, self.rank),
+                                jnp.result_type(float))
+        return {
+            "loc": loc,
+            "w": w,
+            "log_diag": jnp.full(self.dim, math.log(self.init_scale)),
+        }
+
+    @staticmethod
+    def _cap_chol(params):
+        """Cholesky of cap = I_r + W^T D^{-1} W  (rank x rank)."""
+        w, log_diag = params["w"], params["log_diag"]
+        dinv_w = w * jnp.exp(-2.0 * log_diag)[:, None]
+        cap = jnp.eye(w.shape[1], dtype=w.dtype) + w.T @ dinv_w
+        return jnp.linalg.cholesky(cap), dinv_w
+
+    def _log_prob(self, q_params, flat):
+        chol, dinv_w = self._cap_chol(q_params)
+        log_diag = q_params["log_diag"]
+        diff = flat - q_params["loc"]
+        # quadratic form via Woodbury: diffᵀD⁻¹diff − mᵀ cap⁻¹ m,
+        # m = Wᵀ D⁻¹ diff
+        z2 = jnp.sum(diff * diff * jnp.exp(-2.0 * log_diag), -1)
+        m = diff @ dinv_w
+        chol_b = jnp.broadcast_to(chol, m.shape[:-1] + chol.shape)
+        y = jax.scipy.linalg.solve_triangular(chol_b, m[..., None],
+                                              lower=True)[..., 0]
+        quad = z2 - jnp.sum(y * y, -1)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol))) \
+            + 2.0 * jnp.sum(log_diag)
+        return -0.5 * (quad + logdet + self.dim * _LOG_2PI)
+
+    def sample_and_log_prob(self, params, key, sample_shape=(),
+                            stop_gradient_q=False, ctx=None):
+        kd, kr = jax.random.split(key)
+        shape = tuple(sample_shape)
+        dtype = jnp.result_type(float)
+        eps_d = jax.random.normal(kd, shape + (self.dim,), dtype)
+        eps_r = jax.random.normal(kr, shape + (self.rank,), dtype)
+        flat = params["loc"] + jnp.exp(params["log_diag"]) * eps_d \
+            + eps_r @ params["w"].T
+        q_params = jax.lax.stop_gradient(params) if stop_gradient_q \
+            else params
+        return self.unravel(flat), self._log_prob(q_params, flat)
+
+    def entropy(self, params):
+        chol, _ = self._cap_chol(params)
+        half_logdet = jnp.sum(jnp.log(jnp.diagonal(chol))) \
+            + jnp.sum(params["log_diag"])
+        return half_logdet + 0.5 * self.dim * (1.0 + _LOG_2PI)
+
+    def stats(self, params):
+        var = jnp.exp(2.0 * params["log_diag"]) \
+            + jnp.sum(params["w"] * params["w"], -1)
+        return self.unravel(params["loc"]), self.unravel(jnp.sqrt(var))
+
+    def covariance(self, params):
+        """Dense (dim, dim) covariance — diagnostics/tests only."""
+        w = params["w"]
+        return w @ w.T + jnp.diag(jnp.exp(2.0 * params["log_diag"]))
 
 
 class NeuralGuide(Guide):

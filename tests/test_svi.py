@@ -300,3 +300,91 @@ def test_dreg_svi_converges_to_evidence():
     res = svi.run(KEY, 1500)
     final_bound = -np.asarray(res.losses[-200:]).mean()
     assert abs(final_bound - log_z) < 0.2, (final_bound, log_z)
+
+
+def test_lowrank_logq_matches_dense_mvn():
+    """LowRankGuide's Woodbury log-density and entropy must equal the dense
+    N(loc, W W^T + diag(d^2)) computed directly (SURVEY.md C6)."""
+    from scipy import stats as sps
+
+    from bayesic_tpu.infer.svi import LowRankGuide
+
+    d = 7
+
+    def model():
+        sample("z", dist.Normal(jnp.zeros(d), 1.0).to_event(1))
+
+    svi = SVI(model, lambda info: LowRankGuide(info, rank=3),
+              optax.adam(0.01))
+    guide = svi.guide
+    rng = np.random.default_rng(11)
+    params = {
+        "loc": jnp.asarray(rng.normal(0, 1, d).astype(np.float32)),
+        "w": jnp.asarray(rng.normal(0, 0.5, (d, 3)).astype(np.float32)),
+        "log_diag": jnp.asarray(rng.normal(-0.5, 0.3, d).astype(np.float32)),
+    }
+    cov = np.asarray(guide.covariance(params))
+
+    # batched samples: logq matches scipy's dense MVN at every point
+    us, logq = guide.sample_and_log_prob(params, jax.random.PRNGKey(2),
+                                         sample_shape=(4, 5))
+    assert us["z"].shape == (4, 5, d)
+    flat = np.asarray(us["z"]).reshape(-1, d)
+    want = sps.multivariate_normal(np.asarray(params["loc"]), cov).logpdf(flat)
+    np.testing.assert_allclose(np.asarray(logq).reshape(-1), want,
+                               rtol=1e-4, atol=1e-4)
+
+    # entropy matches the dense formula
+    want_h = sps.multivariate_normal(np.zeros(d), cov).entropy()
+    np.testing.assert_allclose(float(guide.entropy(params)), want_h,
+                               rtol=1e-5)
+
+    # stats() marginal stds match the dense covariance diagonal
+    _, std = guide.stats(params)
+    np.testing.assert_allclose(np.asarray(std["z"]), np.sqrt(np.diag(cov)),
+                               rtol=1e-5)
+
+    # sample moments match (law of the reparameterized sampler)
+    us_big, _ = guide.sample_and_log_prob(params, jax.random.PRNGKey(3),
+                                          sample_shape=(200_000,))
+    got_cov = np.cov(np.asarray(us_big["z"]).T)
+    np.testing.assert_allclose(got_cov, cov, atol=0.03)
+
+
+def test_lowrank_recovers_correlated_posterior():
+    """Same analytic 2-d correlated linreg posterior as the full-rank test:
+    a rank-1 + diag guide can represent ANY 2x2 covariance, so it must
+    match mean, marginals and the off-diagonal correlation."""
+    from bayesic_tpu.infer.svi import LowRankGuide
+
+    rng = np.random.default_rng(1)
+    n = 60
+    x = rng.normal(0.0, 1.0, n).astype(np.float32) + 1.0
+    w_true, b_true, sigma = 1.5, -0.7, 0.5
+    y = (w_true * x + b_true + rng.normal(0, sigma, n)).astype(np.float32)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    def model():
+        w = sample("w", dist.Normal(0.0, 2.0))
+        b = sample("b", dist.Normal(0.0, 2.0))
+        sample("obs", dist.Normal(w * xj + b, sigma).to_event(1), obs=yj)
+
+    X = np.stack([x, np.ones_like(x)], 1)
+    prec = X.T @ X / sigma**2 + np.eye(2) / 4.0
+    cov = np.linalg.inv(prec)
+    mean = cov @ (X.T @ y) / sigma**2
+
+    svi = SVI(model, lambda info: LowRankGuide(info, rank=1),
+              optax.adam(0.03))
+    res = svi.run(KEY, 4000)
+    mean_u, _ = svi.guide.stats(res.params)
+    got_cov = np.asarray(svi.guide.covariance(res.params))
+
+    got_mean = np.array([float(mean_u["w"]), float(mean_u["b"])])
+    np.testing.assert_allclose(got_mean, mean, atol=0.05)
+    corr = got_cov[0, 1] / np.sqrt(got_cov[0, 0] * got_cov[1, 1])
+    ref_corr = cov[0, 1] / np.sqrt(cov[0, 0] * cov[1, 1])
+    assert abs(ref_corr) > 0.3
+    assert abs(corr - ref_corr) < 0.15
+    np.testing.assert_allclose(np.diag(got_cov), np.diag(cov), rtol=0.35,
+                               atol=5e-4)
