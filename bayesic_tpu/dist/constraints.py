@@ -116,6 +116,27 @@ class _LowerCholesky(Constraint):
         return tril & pos_diag
 
 
+class _RealMatrix(Constraint):
+    event_dim = 2
+
+    def __call__(self, x):
+        return jnp.all(jnp.isfinite(x), axis=(-2, -1))
+
+
+class _PositiveDefinite(Constraint):
+    """Symmetric positive-definite matrices."""
+
+    event_dim = 2
+
+    def __call__(self, x):
+        sym = jnp.all(jnp.abs(x - jnp.swapaxes(x, -1, -2)) < 1e-5,
+                      axis=(-2, -1))
+        # cholesky of a non-PD matrix yields NaNs
+        chol_ok = jnp.all(jnp.isfinite(jnp.linalg.cholesky(x)),
+                          axis=(-2, -1))
+        return sym & chol_ok
+
+
 class _Boolean(Constraint):
     is_discrete = True
 
@@ -153,6 +174,8 @@ simplex = _Simplex()
 ordered = _Ordered()
 corr_cholesky = _CorrCholesky()
 lower_cholesky = _LowerCholesky()
+real_matrix = _RealMatrix()
+positive_definite = _PositiveDefinite()
 boolean = _Boolean()
 nonnegative_integer = _NonnegativeInteger()
 interval = _Interval

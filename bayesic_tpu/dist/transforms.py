@@ -40,6 +40,7 @@ __all__ = [
     "StickBreaking",
     "CorrCholesky",
     "LowerCholeskyTransform",
+    "PositiveDefiniteTransform",
     "Chain",
     "biject_to",
 ]
@@ -419,6 +420,43 @@ class LowerCholeskyTransform(Transform):
         return jnp.sum(u[..., pos], axis=-1)
 
 
+class PositiveDefiniteTransform(Transform):
+    """R^{m(m+1)/2} -> symmetric positive-definite, via W = L L^T with L the
+    LowerCholeskyTransform image.  The log-det adds the Jacobian of the
+    outer-product map on lower-triangular coordinates,
+    ``|det dW/dL| = 2^m prod_i L_ii^{m-i+1}`` (i 1-based), to the
+    lower-Cholesky ldj — both reduce to linear functions of the diagonal
+    coordinates of ``u``."""
+
+    domain_event_dim = 1
+    codomain_event_dim = 2
+
+    def __init__(self):
+        self._chol = LowerCholeskyTransform()
+
+    def forward_shape(self, shape):
+        return self._chol.forward_shape(shape)
+
+    def inverse_shape(self, shape):
+        return self._chol.inverse_shape(shape)
+
+    def forward(self, u):
+        tril = self._chol.forward(u)
+        return tril @ jnp.swapaxes(tril, -1, -2)
+
+    def inverse(self, x):
+        return self._chol.inverse(jnp.linalg.cholesky(x))
+
+    def log_det_jacobian(self, u):
+        n = u.shape[-1]
+        m = int((-1.0 + math.sqrt(1.0 + 8.0 * n)) / 2.0)
+        pos = jnp.array([k * (k + 1) // 2 + k for k in range(m)])
+        # lower-chol ldj: sum_i u_ii; outer-product ldj: m log 2 +
+        # sum_i (m - i + 1) log L_ii with log L_ii = u_ii
+        weights = jnp.arange(m, 0, -1, dtype=u.dtype) + 1.0
+        return m * math.log(2.0) + jnp.sum(weights * u[..., pos], axis=-1)
+
+
 class Chain(Transform):
     """Compose transforms: forward applies left-to-right."""
 
@@ -489,6 +527,10 @@ def biject_to(constraint):
         return CorrCholesky()
     if isinstance(constraint, c._LowerCholesky):
         return LowerCholeskyTransform()
+    if isinstance(constraint, c._RealMatrix):
+        return Identity()
+    if isinstance(constraint, c._PositiveDefinite):
+        return PositiveDefiniteTransform()
     raise ValueError(
         f"No bijector for constraint {constraint!r} "
         f"(discrete constraints cannot be latent sites)."
