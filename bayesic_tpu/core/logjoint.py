@@ -503,8 +503,26 @@ def build_logjoint(model, *args, **kwargs):
                 jax.random.fold_in(rng_key, e), logits)
         return out
 
+    def logdensity_given_enum(uparams, enum_values, rng_key=None,
+                              subsample=None, model_args=None,
+                              model_kwargs=None, params=None):
+        """Joint log-density with the enumerated sites CONDITIONED at
+        ``enum_values`` (int arrays in each site's natural shape) instead of
+        marginalised — the conditional density p(u, z=enum_values, data)
+        that Gibbs-within-HMC (infer/mcmc/gibbs.py) alternates against.
+        Every leapfrog step under this density costs one plain replay (no
+        enumeration broadcast), which is the point of the Gibbs scheme."""
+        sub = dict(subsample or {})
+        sub.update({
+            n: jnp.asarray(v, jnp.int32) for n, v in enum_values.items()
+        })
+        tr, _ = _replay(uparams, rng_key, sub, model_args, model_kwargs,
+                        params)
+        return _accumulate(tr, uparams)
+
     logdensity.parts = logdensity_parts
     logdensity.sample_enum = sample_enum
+    logdensity.given_enum = logdensity_given_enum
     return info, logdensity, constrain, postprocess
 
 

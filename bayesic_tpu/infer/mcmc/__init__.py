@@ -18,12 +18,14 @@ from .mcmc import MCMC, MCMCResult
 from .metrics import kinetic_energy, sample_momentum, velocity
 from .nuts import NUTSInfo, make_nuts_kernel
 from .ess import EllipticalSlice, ESSResult
+from .gibbs import DiscreteGibbs, GibbsResult
 from .tempering import ParallelTempering, PTResult, geometric_ladder
 
 __all__ = [
     "MCMC", "MCMCResult", "make_nuts_kernel", "make_hmc_kernel",
     "ParallelTempering", "PTResult", "geometric_ladder",
     "EllipticalSlice", "ESSResult",
+    "DiscreteGibbs", "GibbsResult",
     "make_leapfrog", "IntegratorState", "NUTSInfo", "HMCInfo",
     "kinetic_energy", "sample_momentum", "velocity",
     "da_init", "da_update", "DualAveragingState",
