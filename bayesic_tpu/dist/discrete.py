@@ -15,8 +15,8 @@ from jax.scipy.special import gammaln, logsumexp, xlogy
 from . import constraints
 from .distribution import Distribution
 
-__all__ = ["Bernoulli", "Binomial", "Categorical", "Poisson",
-           "Geometric", "NegativeBinomial", "Multinomial"]
+__all__ = ["Bernoulli", "Binomial", "Categorical", "OrderedLogistic",
+           "Poisson", "Geometric", "NegativeBinomial", "Multinomial"]
 
 
 def _bshape(*args):
@@ -158,6 +158,31 @@ class Categorical(Distribution):
     def mean(self):
         k = jnp.arange(self.num_categories, dtype=jnp.result_type(float))
         return jnp.sum(self.probs * k, axis=-1)
+
+
+class OrderedLogistic(Categorical):
+    """Ordinal regression likelihood: a latent logistic variable at
+    location ``predictor`` cut into ``K`` ordered categories by ``K-1``
+    ascending ``cutpoints`` (SURVEY.md C1; pair latent cutpoints with
+    ``constraints.ordered`` so NUTS/SVI sample them unconstrained).
+
+    ``P(Y = k) = sigmoid(c_k - eta) - sigmoid(c_{k-1} - eta)`` with
+    ``c_{-1} = -inf``, ``c_{K-1} = +inf``; implemented as a Categorical
+    over those probabilities, so enumeration/Gibbs machinery applies
+    unchanged."""
+
+    def __init__(self, predictor, cutpoints):
+        pred = jnp.asarray(predictor)[..., None]
+        cp = jnp.asarray(cutpoints)
+        cdf = jax.nn.sigmoid(cp - pred)                       # (..., K-1)
+        shape = cdf.shape[:-1] + (1,)
+        probs = jnp.diff(
+            jnp.concatenate(
+                [jnp.zeros(shape, cdf.dtype), cdf,
+                 jnp.ones(shape, cdf.dtype)], -1),
+            axis=-1,
+        )
+        super().__init__(probs=jnp.clip(probs, 1e-30))
 
 
 class Poisson(Distribution):

@@ -272,6 +272,15 @@ class TransformedDistribution(Distribution):
     def reparametrized(self):
         return self.base_dist.reparametrized
 
+    @property
+    def support(self):
+        """The transform's codomain when it declares one; else the base
+        support (identity/affine-like transforms).  Without this, a
+        transformed latent would be treated as unconstrained and NUTS/SVI
+        could propose values outside the image (NaN density)."""
+        cod = getattr(self.transform, "codomain", None)
+        return cod if cod is not None else self.base_dist.support
+
     def sample(self, key, sample_shape=()):
         return self.transform.forward(self.base_dist.sample(key, sample_shape))
 

@@ -67,6 +67,15 @@ class Transform:
     codomain_event_dim: int = 0
     _params: tuple = ()
 
+    @property
+    def codomain(self):
+        """Constraint describing the image of ``forward``, or ``None``
+        when it is the whole domain (identity/affine) — used by
+        ``TransformedDistribution.support`` so transformed latents get
+        the right bijector under NUTS/SVI.  A property (not an instance
+        attribute) so it never pollutes the pytree aux."""
+        return None
+
     def __init_subclass__(cls, **kwargs):
         super().__init_subclass__(**kwargs)
         jax.tree_util.register_pytree_node(
@@ -149,6 +158,10 @@ class Identity(Transform):
 
 
 class Exp(Transform):
+    @property
+    def codomain(self):
+        return constraints.positive
+
     def forward(self, u):
         return jnp.exp(u)
 
@@ -160,6 +173,10 @@ class Exp(Transform):
 
 
 class Softplus(Transform):
+    @property
+    def codomain(self):
+        return constraints.positive
+
     def forward(self, u):
         return _softplus(u)
 
@@ -172,6 +189,10 @@ class Softplus(Transform):
 
 
 class Sigmoid(Transform):
+    @property
+    def codomain(self):
+        return constraints.unit_interval
+
     def forward(self, u):
         return jax.nn.sigmoid(u)
 
@@ -190,6 +211,10 @@ class Interval(Transform):
     def __init__(self, low, high):
         self.low = low
         self.high = high
+
+    @property
+    def codomain(self):
+        return constraints.interval(self.low, self.high)
 
     def forward(self, u):
         return self.low + (self.high - self.low) * jax.nn.sigmoid(u)
@@ -235,6 +260,10 @@ class Ordered(Transform):
     domain_event_dim = 1
     codomain_event_dim = 1
 
+    @property
+    def codomain(self):
+        return constraints.ordered
+
     def forward(self, u):
         first = u[..., :1]
         rest = jnp.cumsum(jnp.exp(u[..., 1:]), axis=-1)
@@ -255,6 +284,10 @@ class StickBreaking(Transform):
     z_k = sigmoid(u_k - log(K-1-k)) ; x_k = z_k * prod_{j<k}(1 - z_j);
     x_{K-1} = remainder.  The offset centers u=0 on the uniform simplex.
     """
+
+    @property
+    def codomain(self):
+        return constraints.simplex
 
     domain_event_dim = 1
     codomain_event_dim = 1
@@ -317,6 +350,10 @@ class CorrCholesky(Transform):
     stick-broken on its squared norm so rows have unit norm and positive
     diagonal (the Stan/canonical construction).
     """
+
+    @property
+    def codomain(self):
+        return constraints.corr_cholesky
 
     domain_event_dim = 1
     codomain_event_dim = 2
@@ -384,6 +421,10 @@ class CorrCholesky(Transform):
 class LowerCholeskyTransform(Transform):
     """R^{m(m+1)/2} -> lower-triangular with positive (exp'd) diagonal."""
 
+    @property
+    def codomain(self):
+        return constraints.lower_cholesky
+
     domain_event_dim = 1
     codomain_event_dim = 2
 
@@ -434,6 +475,10 @@ class PositiveDefiniteTransform(Transform):
     def __init__(self):
         self._chol = LowerCholeskyTransform()
 
+    @property
+    def codomain(self):
+        return constraints.positive_definite
+
     def forward_shape(self, shape):
         return self._chol.forward_shape(shape)
 
@@ -459,6 +504,10 @@ class PositiveDefiniteTransform(Transform):
 
 class Chain(Transform):
     """Compose transforms: forward applies left-to-right."""
+
+    @property
+    def codomain(self):
+        return self.parts[-1].codomain if self.parts else None
 
     _params = ("parts",)
 

@@ -285,3 +285,60 @@ def test_new_families_sampling():
     assert np.all(np.asarray(s.sum(-1)) == 20)
     np.testing.assert_allclose(np.asarray(s.astype(jnp.float32).mean(0)),
                                np.asarray(m.mean), rtol=0.03)
+
+
+def test_ordered_logistic():
+    """pmf matches the sigmoid-difference formula; sampling moments; and
+    cutpoint recovery via NUTS with the ordered constraint."""
+    eta = np.array([-0.5, 0.3])
+    cp = np.array([-1.0, 0.5, 2.0])
+    d = dist.OrderedLogistic(jnp.asarray(eta), jnp.asarray(cp))
+    assert d.num_categories == 4
+
+    def sig(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    cdf = sig(cp[None, :] - eta[:, None])
+    want = np.diff(np.concatenate(
+        [np.zeros((2, 1)), cdf, np.ones((2, 1))], 1), axis=1)
+    assert_close(jnp.exp(d.log_prob(jnp.arange(4)[:, None])).T,
+                 want, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d.probs).sum(-1), 1.0, rtol=1e-6)
+
+    samp = np.asarray(d.sample(jax.random.PRNGKey(0), (20000,)))
+    for k in range(4):
+        np.testing.assert_allclose((samp == k).mean(0), want[:, k],
+                                   atol=0.02)
+
+
+def test_ordered_logistic_regression_nuts():
+    from bayesic_tpu.core import sample as s_
+    from bayesic_tpu.dist import constraints as cns
+    from bayesic_tpu.infer.mcmc import MCMC
+
+    rng = np.random.default_rng(0)
+    n = 600
+    x = rng.normal(0, 1, n).astype(np.float32)
+    beta_true = 1.2
+    cp_true = np.array([-0.8, 0.9])
+    eta = beta_true * x
+    cdf = 1.0 / (1.0 + np.exp(-(cp_true[None, :] - eta[:, None])))
+    probs = np.diff(np.concatenate(
+        [np.zeros((n, 1)), cdf, np.ones((n, 1))], 1), axis=1)
+    y = np.array([rng.choice(3, p=p) for p in probs]).astype(np.int32)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    def model():
+        beta = s_("beta", dist.Normal(0.0, 2.0))
+        cp = s_("cut", dist.TransformedDistribution(
+            dist.Normal(jnp.zeros(2), 2.0).to_event(1),
+            __import__("bayesic_tpu.dist.transforms", fromlist=["Ordered"])
+            .Ordered()))
+        s_("obs", dist.OrderedLogistic(beta * xj, cp).to_event(1), obs=yj)
+
+    r = MCMC(model=model, num_warmup=400, num_samples=400,
+             num_chains=4).run(jax.random.PRNGKey(1))
+    beta_hat = float(jnp.mean(r.samples["beta"]))
+    cp_hat = np.asarray(r.samples["cut"]).reshape(-1, 2).mean(0)
+    assert abs(beta_hat - beta_true) < 0.25
+    np.testing.assert_allclose(cp_hat, cp_true, atol=0.3)
