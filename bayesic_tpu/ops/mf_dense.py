@@ -127,7 +127,9 @@ def _cell_kernel(cnt_ref, rsum_ref, ua_ref, wu_ref, va_ref, wv_ref,
         dua_ref[...] = jnp.zeros_like(dua_ref)
         dwu_ref[...] = jnp.zeros_like(dwu_ref)
 
-    loss_ref[0, 0] += part
+    # keep the accumulation rank-2: Mosaic cannot store scalars to VMEM
+    # ("loss_ref[0, 0] += part" fails to compile on real TPU)
+    loss_ref[...] += jnp.reshape(part, (1, 1))
     dua_ref[...] += mm(g, va)                  # (NU, A)
     dwu_ref[...] += mm(cnt, wv)                # (NU, 2A)
     dva_ref[...] = mm_tn(g, ua)                # (BI, A)
