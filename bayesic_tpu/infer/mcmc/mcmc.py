@@ -64,7 +64,7 @@ class MCMC:
                  num_chains=4, max_depth=10, target_accept=0.8,
                  dense_mass=False, init_step_size=0.1, thin=1,
                  hmc_num_steps=32, model_args=(), model_kwargs=None,
-                 chain_sharding=None, shared_adapt=False):
+                 chain_sharding=None, shared_adapt=False, init_params=None):
         self.num_warmup = int(num_warmup)
         self.num_samples = int(num_samples)
         self.num_chains = int(num_chains)
@@ -77,6 +77,12 @@ class MCMC:
         # every chain's statistics) — the right regime for 100s-1000s of
         # chains (SURVEY.md C13a; configs[4] 1024-chain NUTS)
         self.shared_adapt = bool(shared_adapt)
+        # optional (num_chains, dim) unconstrained chain inits — e.g.
+        # pathfinder draws (infer/pathfinder.py), the standard cheap
+        # warm start for NUTS
+        self.init_params = (
+            None if init_params is None else jnp.asarray(init_params)
+        )
 
         if model is not None:
             info, logdensity, constrain_fn, _ = build_logjoint(
@@ -146,7 +152,7 @@ class MCMC:
 
     # ------------------------------------------------------------------
     def _initial_carry(self, key_init):
-        states = self._init_states(key_init)
+        states = self._init_states(key_init, init_params=self.init_params)
         if self.shared_adapt:
             inv_mass0 = self._initial_mass()
             da0 = da_init(jnp.asarray(self.init_step_size))

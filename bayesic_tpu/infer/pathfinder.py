@@ -46,6 +46,9 @@ class PathfinderResult(NamedTuple):
     pareto_k: float      # PSIS tail diagnostic of the importance weights
     elbo: jax.Array      # (num_paths,) best per-path ELBO estimate
     best_iter: jax.Array  # (num_paths,) argmax iterate index per path
+    unconstrained: jax.Array = None  # (num_samples, dim) flat draws —
+    #   feed the first num_chains rows to MCMC(init_params=...) to warm
+    #   start NUTS from the pathfinder approximation
 
 
 def _two_loop_dense(s_win, y_win, valid, dim):
@@ -211,4 +214,5 @@ def pathfinder(model, key, *, num_paths=4, maxiter=60, history=6,
         pareto_k=float(k_hat),
         elbo=best_elbo,
         best_iter=best_iter,
+        unconstrained=chosen,
     )

@@ -77,3 +77,23 @@ def test_positive_scale_site():
     got = float(jnp.mean(res.samples["var"]))
     np.testing.assert_allclose(got, post_mean, rtol=0.05)
     assert res.pareto_k < 0.7
+
+
+def test_pathfinder_warm_starts_mcmc():
+    """Pathfinder draws feed MCMC(init_params=...): a short-warmup NUTS run
+    from the pathfinder approximation matches the analytic posterior."""
+    from bayesic_tpu.infer.mcmc import MCMC
+
+    model, mean, cov = _linreg_setup()
+    pf = pathfinder(model, jax.random.PRNGKey(2), num_paths=2,
+                    maxiter=40, num_samples=64)
+    assert pf.unconstrained.shape == (64, 2)
+    m = MCMC(model=model, num_warmup=150, num_samples=400, num_chains=8,
+             init_params=pf.unconstrained[:8])
+    r = m.run(jax.random.PRNGKey(3))
+    got = np.stack([
+        np.asarray(r.samples["w"]).reshape(-1),
+        np.asarray(r.samples["b"]).reshape(-1),
+    ], 1)
+    np.testing.assert_allclose(got.mean(0), mean, atol=0.04)
+    np.testing.assert_allclose(np.cov(got.T), cov, rtol=0.35, atol=3e-4)
