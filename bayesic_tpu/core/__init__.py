@@ -10,6 +10,7 @@ from .logjoint import (
     inspect_model,
 )
 from .primitives import deterministic, factor, param, plate, sample
+from .render import render_model
 from .reparam import LocScaleReparam, Reparam, reparam
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "inspect_model",
     "init_to_prior",
     "init_to_uniform",
+    "render_model",
 ]

@@ -603,3 +603,24 @@ def test_postprocess_uses_trained_params():
     np.testing.assert_allclose(float(out["w2"]), 10.0)
     out0 = post({})
     np.testing.assert_allclose(float(out0["w2"]), 2.0)
+
+
+def test_render_model():
+    from bayesic_tpu.core import deterministic, render_model
+
+    yv = jnp.zeros(20)
+
+    def m():
+        mu = sample("mu", dist.Normal(0.0, 5.0))
+        tau = sample("tau", dist.HalfCauchy(5.0))
+        z = sample("z", dist.Bernoulli(0.3), infer={"enumerate": True})
+        deterministic("loc", mu + z)
+        with plate("data", 100, subsample_size=20):
+            sample("obs", dist.Normal(mu, tau), obs=yv)
+
+    out = render_model(m)
+    assert "sample mu" in out and "biject=Identity" in out
+    assert "biject=Exp" in out                  # tau positivity
+    assert "[enum]" in out                      # enumerated site flagged
+    assert "size=100 subsample=20" in out       # plate line
+    assert "obs plates=data scale=5.0" in out   # N/B scaling surfaced
