@@ -101,8 +101,13 @@ def selftest_hier(interpret):
 def selftest_dlgm(interpret):
     from bayesic_tpu.models import dlgm
 
-    cfg = dlgm.Config(num_data=8192, data_dim=64, latent_dim=16,
-                      hidden=128, batch_size=512, steps=8000)
+    # num_data=8192/batch=512 exceeded the 16 MiB scoped-VMEM stack limit
+    # on real Mosaic (17.58M measured, 2026-08-19) — the dataset and batch
+    # workspace are VMEM-resident by design, so the selftest config must
+    # fit; 4096x64 @ B=256 leaves ~3M headroom and tests the same
+    # on-core-PRNG statistical contract
+    cfg = dlgm.Config(num_data=4096, data_dim=64, latent_dim=16,
+                      hidden=128, batch_size=256, steps=8000)
     # run_svi_fused picks interpret mode from the backend itself, so this
     # exercises the REAL Mosaic program + on-core PRNG on TPU
     out_f = dlgm.run_svi_fused(cfg)
