@@ -71,13 +71,14 @@ class LinearGaussianStateSpace(Distribution):
     the same chain."""
 
     _params = ("initial_mean", "initial_cov", "transition_matrix",
-               "transition_cov", "observation_matrix", "observation_cov")
+               "transition_cov", "observation_matrix", "observation_cov",
+               "observed_mask")
     reparametrized = True
     support = constraints.real_vector
 
     def __init__(self, initial_mean, initial_cov, transition_matrix,
                  transition_cov, observation_matrix, observation_cov,
-                 num_steps, method="auto"):
+                 num_steps, method="auto", observed_mask=None):
         m0 = jnp.asarray(initial_mean)
         if m0.ndim != 1:
             raise ValueError(
@@ -109,6 +110,18 @@ class LinearGaussianStateSpace(Distribution):
         self.observation_cov = jnp.asarray(observation_cov)
         self.num_steps = int(num_steps)
         self.method = method
+        # per-time observation mask (missing data): False rows contribute
+        # no update in the filter and no term in log_prob; values at
+        # masked positions are ignored (and zeroed before use, so NaN
+        # placeholders are safe under grad)
+        if observed_mask is None:
+            observed_mask = jnp.ones((self.num_steps,), bool)
+        observed_mask = jnp.asarray(observed_mask, bool)
+        if observed_mask.shape != (self.num_steps,):
+            raise ValueError(f"observed_mask must have shape "
+                             f"({self.num_steps},), got "
+                             f"{observed_mask.shape}")
+        self.observed_mask = observed_mask
         super().__init__((), (self.num_steps, e))
 
     # ------------------------------------------------------------------
@@ -134,6 +147,10 @@ class LinearGaussianStateSpace(Distribution):
         object.__setattr__(new, "_batch_shape", batch_shape)
         return new
 
+    def _x_safe(self, x):
+        """Zero masked rows so NaN placeholders never reach the algebra."""
+        return jnp.where(self.observed_mask[:, None], x, 0.0)
+
     # -- filtering -----------------------------------------------------
     def _filter_seq(self, x):
         """Sequential Kalman filter: x (T, E) ->
@@ -141,23 +158,28 @@ class LinearGaussianStateSpace(Distribution):
         f, q = self.transition_matrix, self.transition_cov
         h, r = self.observation_matrix, self.observation_cov
 
-        def update(mp, pp, y):
+        x = self._x_safe(x)
+        mask = self.observed_mask
+
+        def update(mp, pp, y, obs):
             s = h @ pp @ h.T + r
             k = jnp.linalg.solve(s, h @ pp).T          # pp H^T s^-1
             m = mp + k @ (y - h @ mp)
             p = _sym(pp - k @ s @ k.T)
-            return m, p
+            # missing observation: the filtered marginal IS the predictive
+            return (jnp.where(obs, m, mp), jnp.where(obs, p, pp))
 
-        m0, p0 = update(self.initial_mean, self.initial_cov, x[0])
+        m0, p0 = update(self.initial_mean, self.initial_cov, x[0], mask[0])
 
-        def step(carry, y):
+        def step(carry, inp):
+            y, obs = inp
             m_prev, p_prev = carry
             mp = f @ m_prev
             pp = _sym(f @ p_prev @ f.T + q)
-            m, p = update(mp, pp, y)
+            m, p = update(mp, pp, y, obs)
             return (m, p), (m, p)
 
-        _, (ms, ps) = lax.scan(step, (m0, p0), x[1:])
+        _, (ms, ps) = lax.scan(step, (m0, p0), (x[1:], mask[1:]))
         return (jnp.concatenate([m0[None], ms], axis=0),
                 jnp.concatenate([p0[None], ps], axis=0))
 
@@ -169,6 +191,8 @@ class LinearGaussianStateSpace(Distribution):
         h, r = self.observation_matrix, self.observation_cov
         d = self.state_dim
         t_len = x.shape[0]
+        x = self._x_safe(x)
+        mask = self.observed_mask
 
         # generic element (t >= 1): transition by F/Q then observe y_t
         s = h @ q @ h.T + r                            # (E, E)
@@ -188,15 +212,25 @@ class LinearGaussianStateSpace(Distribution):
         b0 = self.initial_mean + k0 @ (x[0] - h @ self.initial_mean)
         c0 = _sym(self.initial_cov - k0 @ s0 @ k0.T)
 
+        # missing observations (Sarkka & Garcia-Fernandez 2021 remark:
+        # the element of an unobserved step is the pure transition):
+        # generic t: (A, b, C, eta, J) = (F, 0, Q, 0, 0); b/eta are
+        # already 0 because masked x rows are zeroed — select A, C, J.
+        # t = 0: the composite must reduce to the prior, so b = m0,
+        # C = P0 (A, eta, J already 0).
+        m_g = mask[1:, None, None]
+        b0 = jnp.where(mask[0], b0, self.initial_mean)
+        c0 = jnp.where(mask[0], c0, self.initial_cov)
+
         zero_d = jnp.zeros((d, d))
         a_el = jnp.concatenate([zero_d[None],
-                                jnp.broadcast_to(a_g, (t_len - 1, d, d))])
+                                jnp.where(m_g, a_g, f)])
         b_el = jnp.concatenate([b0[None], bs])
         c_el = jnp.concatenate([c0[None],
-                                jnp.broadcast_to(c_g, (t_len - 1, d, d))])
+                                jnp.where(m_g, c_g, q)])
         eta_el = jnp.concatenate([jnp.zeros((1, d)), etas])
         j_el = jnp.concatenate([zero_d[None],
-                                jnp.broadcast_to(j_g, (t_len - 1, d, d))])
+                                jnp.where(m_g, j_g, zero_d)])
 
         eye = jnp.eye(d)
 
@@ -238,6 +272,7 @@ class LinearGaussianStateSpace(Distribution):
     def _log_prob_one(self, x):
         f, q = self.transition_matrix, self.transition_cov
         h, r = self.observation_matrix, self.observation_cov
+        x = self._x_safe(x)
         ms, ps = (self._filter_par(x) if self._parallel()
                   else self._filter_seq(x))
         # prediction-error decomposition, elementwise from the prefix
@@ -248,7 +283,8 @@ class LinearGaussianStateSpace(Distribution):
             [self.initial_cov[None],
              jnp.einsum("ij,tjk,lk->til", f, ps[:-1], f) + q], axis=0)
         s = jnp.einsum("ij,tjk,lk->til", h, pp, h) + r          # (T, E, E)
-        return jnp.sum(_mvn_logpdf(x, mp @ h.T, s), axis=0)
+        terms = _mvn_logpdf(x, mp @ h.T, s)
+        return jnp.sum(jnp.where(self.observed_mask, terms, 0.0), axis=0)
 
     def log_prob(self, x):
         x = jnp.asarray(x)

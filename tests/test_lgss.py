@@ -205,3 +205,81 @@ def test_validation_errors():
         jnp.ones((1, 2)), jnp.eye(1), 4)
     with pytest.raises(ValueError, match="event shape"):
         lg.log_prob(jnp.zeros((5, 1)))
+
+
+@pytest.mark.parametrize("method", ["sequential", "parallel"])
+def test_missing_observations_match_marginalized_dense_mvn(method):
+    """observed_mask: the log-density must equal the dense joint Gaussian
+    marginalized to the OBSERVED rows, for both filter formulations; NaNs
+    at masked positions must not leak into value or gradient."""
+    t_len = 8
+    e = 1
+    m0, p0, f, q, h, r = _system()
+    mask = np.array([True, True, False, True, False, False, True, True])
+    lg_full = dist.LinearGaussianStateSpace(m0, p0, f, q, h, r, t_len,
+                                            method=method)
+    x = lg_full.sample(jax.random.PRNGKey(3))
+
+    lg = dist.LinearGaussianStateSpace(
+        m0, p0, f, q, h, r, t_len, method=method,
+        observed_mask=jnp.asarray(mask))
+    _, _, mx, cx, _ = _dense_oracle(m0, p0, f, q, h, r, t_len)
+    rows = np.repeat(mask, e)
+    want = multivariate_normal.logpdf(
+        np.asarray(x).ravel()[rows], mx[rows], cx[np.ix_(rows, rows)])
+    got = float(lg.log_prob(x))
+    assert got == pytest.approx(want, rel=1e-4)
+
+    # NaN placeholders at missing slots: identical value, finite grad
+    x_nan = np.asarray(x).copy()
+    x_nan[~mask] = np.nan
+    got_nan = float(lg.log_prob(jnp.asarray(x_nan)))
+    assert got_nan == pytest.approx(got, rel=1e-6)
+
+    def lp_of_f(fm):
+        d2 = dist.LinearGaussianStateSpace(
+            m0, p0, fm, q, h, r, t_len, method=method,
+            observed_mask=jnp.asarray(mask))
+        return d2.log_prob(jnp.asarray(x_nan))
+
+    g = jax.grad(lp_of_f)(jnp.asarray(f))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_missing_observations_filter_and_smooth_consistent():
+    """Parallel == sequential for the masked filter; the smoother at a
+    missing time must match conditioning the dense joint on observed rows."""
+    t_len = 8
+    m0, p0, f, q, h, r = _system()
+    mask = np.array([True, False, True, True, False, True, True, False])
+    x = dist.LinearGaussianStateSpace(
+        m0, p0, f, q, h, r, t_len).sample(jax.random.PRNGKey(5))
+
+    lgs = dist.LinearGaussianStateSpace(
+        m0, p0, f, q, h, r, t_len, method="sequential",
+        observed_mask=jnp.asarray(mask))
+    lgp = dist.LinearGaussianStateSpace(
+        m0, p0, f, q, h, r, t_len, method="parallel",
+        observed_mask=jnp.asarray(mask))
+    ms_s, ps_s = lgs.filter(x)
+    ms_p, ps_p = lgp.filter(x)
+    np.testing.assert_allclose(np.asarray(ms_p), np.asarray(ms_s),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ps_p), np.asarray(ps_s),
+                               rtol=1e-4, atol=1e-5)
+
+    # smoothed z marginals == dense joint conditioning on observed rows
+    mz, cz, mx, cx, czx = _dense_oracle(m0, p0, f, q, h, r, t_len)
+    rows = np.asarray(mask)
+    xo = np.asarray(x).ravel()[rows]
+    sol = np.linalg.solve(cx[np.ix_(rows, rows)], xo - mx[rows])
+    mz_post = mz + czx[:, rows] @ sol
+    cz_post = cz - czx[:, rows] @ np.linalg.solve(
+        cx[np.ix_(rows, rows)], czx[:, rows].T)
+    sm, sp = lgs.smooth(x)
+    d = m0.shape[0]
+    np.testing.assert_allclose(np.asarray(sm).ravel(), mz_post,
+                               rtol=1e-4, atol=1e-4)
+    got_var = np.stack([np.diag(np.asarray(sp)[t]) for t in range(t_len)])
+    want_var = np.diag(cz_post).reshape(t_len, d)
+    np.testing.assert_allclose(got_var, want_var, rtol=1e-4, atol=1e-4)
