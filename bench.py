@@ -1,8 +1,17 @@
 """Headline benchmark: all five BASELINE workloads under the pinned
-protocol (benchmarks/harness.py), emitted as ONE JSON line:
+protocol (benchmarks/harness.py).  The FINAL stdout line is a COMPACT
+headline-only JSON (≤ ~500 bytes, guaranteed by test_bench_capture.py):
 
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-   "workloads": {<per-workload record>...}}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "spread": N}
+
+The full per-workload record dict is emitted on an EARLIER stdout line
+(prefixed object with "workloads") and persisted to
+benchmarks/bench_full.json.  Round 3's artifact lesson (VERDICT r3 item 1):
+the driver captures a bounded TAIL of stdout and parses the last line; when
+all 13 workload records were inlined into one giant line, the line start
+fell outside the window and the official headline recorded `parsed: null`
+despite rc 0.  The compact-final-line format is therefore a contract, not a
+style choice.
 
 The headline metric stays the flagship DLGM ELBO-steps/s/chip (the round-1
 series value); `vs_baseline` is this run / round-1's 13,541.9 — the
@@ -149,8 +158,15 @@ def save_partial(done):
         print(f"bench: partial save failed: {e}", file=sys.stderr)
 
 
+FULL_PATH = os.path.join(HERE, "benchmarks", "bench_full.json")
+
+
 def emit(done, error=None):
-    """Assemble and print the one JSON line from whatever records exist."""
+    """Emit results: full per-workload dict on an EARLY line (and to
+    benchmarks/bench_full.json), compact headline-only JSON as the FINAL
+    line.  The driver parses the last line of a bounded stdout tail, so the
+    final line must stay small (test_bench_capture.py asserts ≤ 500 bytes
+    and json.loads-ability)."""
     by_model = {}
     for recs in done.values():
         for r in recs:
@@ -165,17 +181,29 @@ def emit(done, error=None):
     if fused.get("value", 0.0) > headline.get("value", 0.0):
         headline = fused
     value = float(headline.get("value", 0.0))
-    out = {
+
+    full = {"workloads": by_model}
+    if error:
+        full["error"] = error
+    try:
+        with open(FULL_PATH, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:
+        print(f"bench: bench_full.json write failed: {e}", file=sys.stderr)
+    print(json.dumps(full))          # early line: full records
+
+    compact = {
         "metric": "dlgm_elbo_steps_per_s_per_chip",
         "value": value,
         "unit": "steps/s/chip",
         "vs_baseline": round(value / R1_HEADLINE, 4) if value else 0.0,
         "spread": headline.get("spread"),
-        "workloads": by_model,
     }
     if error:
-        out["error"] = error
-    print(json.dumps(out))
+        compact["error"] = error[:120]
+    line = json.dumps(compact)
+    assert len(line) <= 500, f"headline line too long ({len(line)}B)"
+    print(line)                      # FINAL line: compact, parseable
     complete = all(name in done and done[name] for name in WORKLOADS)
     return 0 if complete and value > 0 else 1
 
