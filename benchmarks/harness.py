@@ -176,7 +176,7 @@ def bench_svi(name, svi, key, steps, model_args=None, cost=None,
 
 
 def bench_fused(name, fused_call, steps, cost=None, extra=None,
-                final_loss_holder=None):
+                final_loss_holder=None, bound_override=None):
     """Shared protocol wrapper for the whole-run fused trainers: one
     untimed warm call, then _median_protocol over fully-fenced reps that
     thread EVOLVING state (the caller's fused_call(seed) closure must
@@ -200,7 +200,8 @@ def bench_fused(name, fused_call, steps, cost=None, extra=None,
     if cost is not None:
         roofline.annotate(rec, *cost,
                           steps_per_s=rate * jax.device_count(),
-                          platform=jax.default_backend())
+                          platform=jax.default_backend(),
+                          bound_override=bound_override)
     return rec
 
 
@@ -313,6 +314,8 @@ def run_linreg():
             return losses
 
         recs.append(bench_fused("linreg_fused", fused_call, steps_f,
+                                cost=roofline.linreg_fused_step(),
+                                bound_override="serial-latency",
                                 extra={"sufficient_stats": True}))
     return recs
 
