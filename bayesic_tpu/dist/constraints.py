@@ -129,7 +129,12 @@ class _PositiveDefinite(Constraint):
     event_dim = 2
 
     def __call__(self, x):
-        sym = jnp.all(jnp.abs(x - jnp.swapaxes(x, -1, -2)) < 1e-5,
+        # RELATIVE symmetry tolerance: an absolute 1e-5 rejects
+        # well-conditioned SPD matrices of large scale (entries ~1e6 are
+        # symmetric only to ~1e-2 in f32) and accepts meaningfully
+        # asymmetric tiny ones
+        xt = jnp.swapaxes(x, -1, -2)
+        sym = jnp.all(jnp.abs(x - xt) <= 1e-5 * (1.0 + jnp.abs(x)),
                       axis=(-2, -1))
         # cholesky of a non-PD matrix yields NaNs
         chol_ok = jnp.all(jnp.isfinite(jnp.linalg.cholesky(x)),

@@ -169,20 +169,28 @@ class OrderedLogistic(Categorical):
     ``P(Y = k) = sigmoid(c_k - eta) - sigmoid(c_{k-1} - eta)`` with
     ``c_{-1} = -inf``, ``c_{K-1} = +inf``; implemented as a Categorical
     over those probabilities, so enumeration/Gibbs machinery applies
-    unchanged."""
+    unchanged.
+
+    Cutpoints MUST be ascending (the distribution is undefined otherwise).
+    Category log-probs are computed directly in log space via the identity
+    ``sigmoid(a) - sigmoid(b) = sigmoid(a) * sigmoid(-b) * (1 - e^{b-a})``
+    — stable for extreme predictors where the sigmoid difference would
+    cancel in f32 — and a NON-ascending pair produces NaN (``log`` of a
+    negative difference), surfacing the invalid parameterization instead
+    of the silently-wrong clipped density an earlier version returned."""
 
     def __init__(self, predictor, cutpoints):
         pred = jnp.asarray(predictor)[..., None]
         cp = jnp.asarray(cutpoints)
-        cdf = jax.nn.sigmoid(cp - pred)                       # (..., K-1)
-        shape = cdf.shape[:-1] + (1,)
-        probs = jnp.diff(
-            jnp.concatenate(
-                [jnp.zeros(shape, cdf.dtype), cdf,
-                 jnp.ones(shape, cdf.dtype)], -1),
-            axis=-1,
-        )
-        super().__init__(probs=jnp.clip(probs, 1e-30))
+        d = cp - pred                                         # (..., K-1)
+        pad = jnp.full(d.shape[:-1] + (1,), jnp.inf, d.dtype)
+        upper = jnp.concatenate([d, pad], -1)                 # c_k - eta
+        lower = jnp.concatenate([-pad, d], -1)                # c_{k-1} - eta
+        # log(sigmoid(u) - sigmoid(l)) for u > l; the inf pads make the
+        # edge categories exact (log_sigmoid(inf) = 0, expm1(-inf) = -1)
+        logits = (jax.nn.log_sigmoid(upper) + jax.nn.log_sigmoid(-lower)
+                  + jnp.log(-jnp.expm1(lower - upper)))
+        super().__init__(logits=logits)
 
 
 class Poisson(Distribution):

@@ -112,6 +112,18 @@ class MCMC:
             self._unravel = unravel or (lambda q: q)
             self._constrain = constrain or (lambda q: {"q": q})
 
+        if self.init_params is not None and (
+            self.init_params.ndim != 2
+            or self.init_params.shape != (self.num_chains, self.dim)
+        ):
+            raise ValueError(
+                f"init_params must be (num_chains, dim) = "
+                f"({self.num_chains}, {self.dim}); got "
+                f"{tuple(self.init_params.shape)}.  Rows must be "
+                "UNCONSTRAINED-space points (e.g. "
+                "PathfinderResult.unconstrained rows), one per chain."
+            )
+
         if kernel == "nuts":
             self._kernel = make_nuts_kernel(
                 self._potential_and_grad, max_depth=max_depth

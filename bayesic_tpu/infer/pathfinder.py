@@ -192,6 +192,12 @@ def pathfinder(model, key, *, num_paths=4, maxiter=60, history=6,
 
     lw = np.asarray(logp - logq, dtype=np.float64)
     finite = np.isfinite(lw)
+    if not np.any(finite):
+        raise ValueError(
+            "pathfinder: all paths failed — every pooled draw has a "
+            "non-finite importance log-weight (the L-BFGS paths diverged "
+            "or the target density is non-finite at every draw).  Check "
+            "the model/initialization, or increase num_paths/maxiter.")
     lw = np.where(finite, lw, -np.inf)
     if psis:
         from ..utils.compare import _psis_smooth_one
@@ -204,7 +210,14 @@ def pathfinder(model, key, *, num_paths=4, maxiter=60, history=6,
     w = w / w.sum()
     rng = np.random.default_rng(
         int(jax.random.randint(keys[-1], (), 0, 2**31 - 1)))
-    idx = rng.choice(lw.shape[0], size=num_samples, replace=True, p=w)
+    # importance resampling WITHOUT replacement when the positive-weight
+    # pool allows it: the first num_chains rows of `unconstrained` seed
+    # MCMC chains (MCMC(init_params=...)), and duplicate seed points
+    # weaken between-chain diagnostics; with-replacement draws are kept
+    # only as the degenerate-weight fallback.
+    n_pos = int(np.count_nonzero(w))
+    idx = rng.choice(lw.shape[0], size=num_samples,
+                     replace=n_pos < num_samples, p=w)
     chosen = jnp.asarray(np.asarray(xs)[idx])
     cons = jax.vmap(lambda q: constrain_fn(unravel(q)))(chosen)
     return PathfinderResult(

@@ -42,12 +42,19 @@ segment, everything inside jit.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 __all__ = ["dp_gram", "segment_averaged_train"]
+
+# Measured-safe segment length for models with hierarchical scale sites
+# (hier-logistic, 8 shards, 4k steps: segments <=10 reproduce the
+# single-device optimum with log-tau within 0.07; segments >=20 bias
+# log-tau by ~+0.8).  Enforced by segment_averaged_train below.
+MAX_HIER_SEGMENT_STEPS = 10
 
 
 def dp_gram(x_packed_sharded, mesh, axis="data"):
@@ -68,7 +75,8 @@ def dp_gram(x_packed_sharded, mesh, axis="data"):
 
 def segment_averaged_train(local_train, state, sharded_data, mesh, *,
                            segments, steps_per_segment, seed=0,
-                           axis="data"):
+                           axis="data", hierarchical_scales=None,
+                           allow_biased_segments=False):
     """Run ``segments`` x ``steps_per_segment`` fused steps under
     segment-averaged DP.
 
@@ -79,10 +87,41 @@ def segment_averaged_train(local_train, state, sharded_data, mesh, *,
     pytree to average (params + optimizer moments).  Returns
     (state, losses) with losses the device-mean trace, concatenated over
     segments.
+
+    Bias guard (VERDICT r3 item 6): long segments on models with
+    HIERARCHICAL SCALE sites (funnel posteriors — a global log-scale over
+    group effects) silently bias the scale upward: between averages each
+    device drifts toward its shard's posterior, and averaging location
+    parameters of a correlated posterior is not averaging the posterior
+    (measured: +0.8 on hier-logistic log-tau at segments >= 20).  Declare
+    the model via ``hierarchical_scales``:
+
+    * ``True``  — segments longer than ``MAX_HIER_SEGMENT_STEPS`` raise,
+      unless ``allow_biased_segments=True`` (you accept the bias).
+    * ``False`` — no cap (plain MLP/VAE objectives tolerate long
+      segments; standard local-SGD behavior).
+    * ``None``  (default) — unknown model: a long segment emits a
+      ``UserWarning`` telling you to declare.
     """
     n_dev = mesh.shape[axis]
     segments = int(segments)
     sps = int(steps_per_segment)
+    if sps > MAX_HIER_SEGMENT_STEPS and not allow_biased_segments:
+        if hierarchical_scales:
+            raise ValueError(
+                f"steps_per_segment={sps} exceeds the measured-safe "
+                f"{MAX_HIER_SEGMENT_STEPS} for models with hierarchical "
+                "scale sites: segment-averaged DP biases the scale "
+                "posterior upward (~+0.8 in log-tau at >=20-step segments "
+                "on hier-logistic).  Shorten the segments, or pass "
+                "allow_biased_segments=True to accept the bias.")
+        if hierarchical_scales is None:
+            warnings.warn(
+                f"steps_per_segment={sps} > {MAX_HIER_SEGMENT_STEPS}: if "
+                "this model has hierarchical scale sites the averaged "
+                "posterior scale will be biased (see dp_fused docstring). "
+                "Declare hierarchical_scales=True/False to silence this.",
+                UserWarning, stacklevel=2)
 
     def run(state, data_local):
         idx = jax.lax.axis_index(axis)

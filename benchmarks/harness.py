@@ -710,7 +710,8 @@ def run_scaling():
             t0 = time.perf_counter()
             holder["st"], losses = segment_averaged_train(
                 local_train, holder["st"], packed, mesh_n,
-                segments=segments, steps_per_segment=sps, seed=i)
+                segments=segments, steps_per_segment=sps, seed=i,
+                hierarchical_scales=True)
             _force(losses)
             return time.perf_counter() - t0
 

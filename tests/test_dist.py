@@ -311,6 +311,28 @@ def test_ordered_logistic():
                                    atol=0.02)
 
 
+def test_ordered_logistic_extreme_predictors_stable():
+    """ADVICE r3: category log-probs are computed in log space — for an
+    extreme predictor the tail category's log-prob is the linear logistic
+    tail (c_0 - eta), not a clipped log(1e-30) floor."""
+    cp = jnp.asarray([-1.0, 0.5, 2.0])
+    d = dist.OrderedLogistic(jnp.asarray(40.0), cp)
+    lp0 = float(d.log_prob(jnp.asarray(0)))
+    # P(0) = sigmoid(c_0 - eta) ~ exp(-41): log-prob ~ -41, exactly linear
+    np.testing.assert_allclose(lp0, -41.0, atol=1e-3)
+    assert np.isfinite(np.asarray(d.log_prob(jnp.arange(4)))).all()
+    # the whole pmf still normalizes
+    np.testing.assert_allclose(np.asarray(d.probs).sum(-1), 1.0, rtol=1e-6)
+
+
+def test_ordered_logistic_nonascending_cutpoints_surface_nan():
+    """Non-ascending cutpoints are an invalid parameterization: the density
+    must come out NaN (surfaced), not a silently-wrong clipped value."""
+    d = dist.OrderedLogistic(jnp.asarray(0.0), jnp.asarray([1.0, -1.0]))
+    lp = np.asarray(d.log_prob(jnp.arange(3)))
+    assert np.isnan(lp).any()
+
+
 def test_ordered_logistic_regression_nuts():
     from bayesic_tpu.core import sample as s_
     from bayesic_tpu.dist import constraints as cns

@@ -128,7 +128,7 @@ def test_hier_segment_averaged_matches_single_device():
                               steps_per_seg, cfg.lr, total)
     (loc_dp, ls_dp, _), losses = segment_averaged_train(
         local, state0, packed, mesh, segments=segments,
-        steps_per_segment=steps_per_seg, seed=3)
+        steps_per_segment=steps_per_seg, seed=3, hierarchical_scales=True)
     assert float(losses[-1]) < float(losses[0])
 
     loc_1, ls_1, _, _ = fh.fused_train(
@@ -144,6 +144,57 @@ def test_hier_segment_averaged_matches_single_device():
     np.testing.assert_allclose(m_dp["beta"], m_1["beta"], atol=0.15)
     np.testing.assert_allclose(m_dp["theta_raw"], m_1["theta_raw"],
                                atol=0.35)
+
+
+def _toy_local_train(data_local, state, seed, t0):
+    # trivial stand-in "segment": state is a (1, 128) array
+    return state + 1e-3, jnp.zeros((4,), jnp.float32)
+
+
+def test_segment_bias_guard_raises_on_hierarchical(recwarn):
+    """VERDICT r3 item 6: long segments + declared hierarchical scales must
+    raise (measured +0.8 log-tau bias at >= 20-step segments), not train a
+    silently wrong posterior."""
+    mesh = make_mesh({"data": 8})
+    state = jnp.zeros((1, 128), jnp.float32)
+    data = jnp.zeros((64, 8), jnp.float32)
+    with pytest.raises(ValueError, match="hierarchical scale"):
+        segment_averaged_train(_toy_local_train, state, data, mesh,
+                               segments=1, steps_per_segment=20,
+                               hierarchical_scales=True)
+    # escape hatch: the user explicitly accepts the bias
+    st, _ = segment_averaged_train(_toy_local_train, state, data, mesh,
+                                   segments=1, steps_per_segment=20,
+                                   hierarchical_scales=True,
+                                   allow_biased_segments=True)
+    assert np.isfinite(np.asarray(st)).all()
+    assert not [w for w in recwarn.list if issubclass(w.category,
+                                                     UserWarning)]
+
+
+def test_segment_bias_guard_warns_when_undeclared():
+    mesh = make_mesh({"data": 8})
+    state = jnp.zeros((1, 128), jnp.float32)
+    data = jnp.zeros((64, 8), jnp.float32)
+    with pytest.warns(UserWarning, match="hierarchical scale"):
+        segment_averaged_train(_toy_local_train, state, data, mesh,
+                               segments=1, steps_per_segment=20)
+
+
+def test_segment_bias_guard_silent_when_safe(recwarn):
+    """Short segments (any model) and declared-non-hierarchical models must
+    pass without noise."""
+    mesh = make_mesh({"data": 8})
+    state = jnp.zeros((1, 128), jnp.float32)
+    data = jnp.zeros((64, 8), jnp.float32)
+    segment_averaged_train(_toy_local_train, state, data, mesh,
+                           segments=1, steps_per_segment=10,
+                           hierarchical_scales=True)
+    segment_averaged_train(_toy_local_train, state, data, mesh,
+                           segments=1, steps_per_segment=200,
+                           hierarchical_scales=False)
+    assert not [w for w in recwarn.list if issubclass(w.category,
+                                                     UserWarning)]
 
 
 def test_vae_segment_averaged_trains():
@@ -168,7 +219,7 @@ def test_vae_segment_averaged_trains():
 
     state, losses = segment_averaged_train(
         local_train, (fp, fm, fvv), x, mesh, segments=4,
-        steps_per_segment=60, seed=1)
+        steps_per_segment=60, seed=1, hierarchical_scales=False)
     assert np.isfinite(np.asarray(losses)).all()
     assert float(np.mean(np.asarray(losses)[-30:])) < \
         float(np.mean(np.asarray(losses)[:30]))

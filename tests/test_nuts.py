@@ -273,3 +273,24 @@ def test_run_segmented_matches_monolithic():
                                      if np.ndim(r2.extra["step_size"]) == 0
                                      else r2.extra["step_size"][0]),
                                rtol=1e-6)
+
+
+def test_init_params_shape_validated():
+    """ADVICE r3: a mis-shaped init_params must fail fast in __init__ with
+    a message naming the expected (num_chains, dim) unconstrained layout,
+    not deep inside the vmapped chain init."""
+    import pytest
+
+    from bayesic_tpu.infer.mcmc import MCMC
+
+    def model():
+        sample("mu", dist.Normal(0.0, 1.0))
+        sample("tau", dist.HalfNormal(1.0))
+
+    with pytest.raises(ValueError, match="UNCONSTRAINED"):
+        MCMC(model=model, num_chains=4,
+             init_params=jnp.zeros((3, 2)))     # wrong chain count
+    with pytest.raises(ValueError, match=r"\(4, 2\)"):
+        MCMC(model=model, num_chains=4,
+             init_params=jnp.zeros((4, 5)))     # wrong dim
+    MCMC(model=model, num_chains=4, init_params=jnp.zeros((4, 2)))

@@ -97,3 +97,32 @@ def test_pathfinder_warm_starts_mcmc():
     ], 1)
     np.testing.assert_allclose(got.mean(0), mean, atol=0.04)
     np.testing.assert_allclose(np.cov(got.T), cov, rtol=0.35, atol=3e-4)
+
+
+def test_all_paths_failed_raises_clear_error():
+    """ADVICE r3: when every pooled draw has a non-finite importance
+    weight (target density non-finite everywhere), pathfinder must raise a
+    diagnostic ValueError, not feed NaN probabilities to the resampler."""
+    import pytest
+
+    bad = jnp.asarray([jnp.nan, jnp.nan])
+
+    def model():
+        mu = sample("mu", dist.Normal(0.0, 1.0))
+        sample("obs", dist.Normal(mu + jnp.zeros(2), 1.0).to_event(1),
+               obs=bad)
+
+    with pytest.raises(ValueError, match="all paths failed"):
+        pathfinder(model, jax.random.PRNGKey(0), num_paths=2,
+                   maxiter=10, num_samples=16)
+
+
+def test_seed_rows_distinct_without_replacement():
+    """The first num_chains rows of `unconstrained` seed MCMC chains —
+    with a healthy pool they must be drawn without replacement (no two
+    chains starting from the identical point)."""
+    model, _, _ = _linreg_setup()
+    res = pathfinder(model, jax.random.PRNGKey(3), num_paths=4,
+                     maxiter=40, num_samples=64)
+    rows = np.asarray(res.unconstrained)
+    assert np.unique(rows, axis=0).shape[0] == rows.shape[0]

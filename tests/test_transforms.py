@@ -234,3 +234,20 @@ def test_no_retrace_biject_to():
     for _ in range(3):
         fwd(tf.biject_to(constraints.positive), u)
     assert calls["n"] == 1
+
+
+def test_positive_definite_constraint_relative_symmetry_tol():
+    """ADVICE r3: the symmetry check must scale with the matrix — large
+    well-conditioned SPD matrices (f32-symmetric only to absolute ~1e-2)
+    pass, tiny meaningfully-asymmetric ones fail."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bayesic_tpu.dist import constraints
+
+    big = np.asarray([[2e6, 1e6], [1e6, 2e6]], np.float32)
+    big[0, 1] += 0.5            # f32 rounding-scale asymmetry at 1e6
+    assert bool(constraints.positive_definite(jnp.asarray(big)))
+
+    tiny = np.asarray([[1e-3, 2e-4], [1e-4, 1e-3]], np.float32)
+    assert not bool(constraints.positive_definite(jnp.asarray(tiny)))
