@@ -64,7 +64,8 @@ class MCMC:
                  num_chains=4, max_depth=10, target_accept=0.8,
                  dense_mass=False, init_step_size=0.1, thin=1,
                  hmc_num_steps=32, model_args=(), model_kwargs=None,
-                 chain_sharding=None, shared_adapt=False, init_params=None):
+                 chain_sharding=None, shared_adapt=False, init_params=None,
+                 batched_transition=None):
         self.num_warmup = int(num_warmup)
         self.num_samples = int(num_samples)
         self.num_chains = int(num_chains)
@@ -83,6 +84,17 @@ class MCMC:
         self.init_params = (
             None if init_params is None else jnp.asarray(init_params)
         )
+        # optional whole-batch transition override: a callable
+        # ``(key, states, step_size, inv_mass) -> (states, NUTSInfo)``
+        # operating on ALL chains at once — the hook the fused Pallas NUTS
+        # transition (ops/fused_nuts.py) plugs into.  Requires
+        # shared_adapt (scalar step size / one shared mass matrix).
+        self.batched_transition = batched_transition
+        if batched_transition is not None and not self.shared_adapt:
+            raise ValueError(
+                "batched_transition requires shared_adapt=True (the "
+                "fused transition consumes one scalar step size and one "
+                "shared inverse mass)")
 
         if model is not None:
             info, logdensity, constrain_fn, _ = build_logjoint(
@@ -199,6 +211,15 @@ class MCMC:
         kernel = self._kernel
         target = self.target_accept
 
+        def run_chains(keys, state, eps, inv_mass, t_key):
+            """One transition over all chains: the batched override (fused
+            Pallas path) when set, else the vmapped per-chain kernel."""
+            if self.batched_transition is not None:
+                return self.batched_transition(t_key, state, eps, inv_mass)
+            return jax.vmap(
+                kernel, in_axes=(0, 0, None, None)
+            )(keys, state, eps, inv_mass)
+
         def warm_step(key_warm, carry: _WarmupCarry, t):
             keys = jax.vmap(
                 lambda c: jax.random.fold_in(jax.random.fold_in(key_warm, t),
@@ -206,9 +227,9 @@ class MCMC:
             )(jnp.arange(self.num_chains))
             eps = jnp.exp(carry.da.log_step)
             if self.shared_adapt:
-                state, info = jax.vmap(
-                    kernel, in_axes=(0, 0, None, None)
-                )(keys, carry.state, eps, carry.inv_mass)
+                state, info = run_chains(
+                    keys, carry.state, eps, carry.inv_mass,
+                    jax.random.fold_in(key_warm, t))
                 da = da_update(carry.da, jnp.mean(info.accept_prob),
                                target=target)
                 wf_new = welford_update_batch(carry.wf, state.q)
@@ -258,9 +279,8 @@ class MCMC:
                                              c)
             )(jnp.arange(self.num_chains))
             if self.shared_adapt:
-                return jax.vmap(
-                    kernel, in_axes=(0, 0, None, None)
-                )(keys, state, step_size, inv_mass)
+                return run_chains(keys, state, step_size, inv_mass,
+                                  jax.random.fold_in(key_samp, t))
             return jax.vmap(kernel)(keys, state, step_size, inv_mass)
 
         def sample_step(key_samp, carry, t):

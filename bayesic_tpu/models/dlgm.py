@@ -274,6 +274,43 @@ def local_posterior_mcmc(cfg: Config, dec, dec_params, sigma_x, x_batch,
     return mcmc, mcmc.run(key)
 
 
+def local_posterior_mcmc_fused(cfg: Config, dec, dec_params, sigma_x,
+                               x_batch, *, max_doublings=6,
+                               block_chains=64, mm_dtype="float32",
+                               interpret=False, run_key=None):
+    """The configs[4] local-posterior NUTS workload routed through the
+    fused Pallas transition (ops/fused_nuts.py): the same model density and
+    the same MCMC driver (pooled adaptation, Welford windows, diagnostics)
+    with the per-transition tree build running as one VMEM-resident kernel
+    launch.  Returns the MCMC object (call ``.run(key)`` / bench it)."""
+    from ..ops.fused_nuts import make_batched_transition
+
+    nb = int(x_batch.shape[0])
+
+    def model():
+        z = sample(
+            "z", dist.Normal(0.0, 1.0).expand((nb, cfg.latent_dim))
+            .to_event(2)
+        )
+        mu = dec.apply(dec_params, z)
+        sample("obs", dist.Normal(mu, sigma_x).to_event(2), obs=x_batch)
+
+    block_chains = min(block_chains, cfg.num_chains)
+    if cfg.num_chains % block_chains:
+        raise ValueError("block_chains must divide num_chains")
+    bt = make_batched_transition(
+        dec_params, float(sigma_x), x_batch, latent_dim=cfg.latent_dim,
+        hidden=cfg.hidden, max_doublings=max_doublings,
+        block_chains=block_chains, mm_dtype=mm_dtype, interpret=interpret)
+    mcmc = MCMC(model=model, num_warmup=cfg.num_warmup,
+                num_samples=cfg.num_samples, num_chains=cfg.num_chains,
+                init_step_size=0.2, shared_adapt=True,
+                batched_transition=bt)
+    if run_key is not None:
+        return mcmc, mcmc.run(run_key)
+    return mcmc
+
+
 def run(cfg: Config, key=None):
     if cfg.smoke:
         cfg = dataclasses.replace(

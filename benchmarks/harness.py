@@ -608,6 +608,24 @@ def run_dlgm():
         cost_per_leapfrog=roofline.dlgm_nuts_leapfrog(
             n_rows, cfg2.latent_dim, cfg2.hidden, cfg2.data_dim,
             n_chains)))
+
+    # the SAME workload through the fused Pallas whole-transition kernel
+    # (ops/fused_nuts.py, VERDICT r3 item 2): identical model density,
+    # driver, adaptation and diagnostics — only the per-transition tree
+    # build runs as one VMEM-resident kernel launch per chain block.
+    # block_chains=32 is the largest block inside the 16 MB scoped-VMEM
+    # limit at this shape (64 OOMs by 1.09 MB).
+    if jax.default_backend() == "tpu":
+        from bayesic_tpu.models.dlgm import local_posterior_mcmc_fused
+
+        mcmc3 = local_posterior_mcmc_fused(
+            cfg2, out["decoder"], out["decoder_params"], out["sigma_x"],
+            out["x"][:n_rows], block_chains=32)
+        recs.append(bench_nuts_ess(
+            "dlgm_nuts_fused", mcmc3, jax.random.PRNGKey(2),
+            cost_per_leapfrog=roofline.dlgm_nuts_leapfrog(
+                n_rows, cfg2.latent_dim, cfg2.hidden, cfg2.data_dim,
+                n_chains)))
     return recs
 
 
