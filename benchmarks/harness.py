@@ -210,18 +210,35 @@ def bench_nuts_ess(name, mcmc, key, segmented=None, reps=REPS,
     """NUTS throughput with a convergence gate: each rep is a full
     warmup+sampling run under a FRESH key; value = median min-ESS/s/chip;
     the record carries max split-R-hat (must be < rhat_gate for the number
-    to count) and the leapfrog-level roofline."""
+    to count) and the leapfrog-level roofline.
+
+    Diagnostics are computed ON DEVICE and only scalars cross the
+    host link: the dlgm_nuts sample buffer is ~420 MB, and a
+    device_get of it through the remote-TPU relay costs ~16 s — the
+    r1-r3 records timed that transfer as if it were sampling (the
+    entire 17 s r3 wall was ~95% relay transfer; the bare kernel scan
+    runs 100 transitions in 0.25 s).  The on-device min-ESS/max-R-hat
+    reduction (0.16 s) is also the fence: its value data-depends on
+    every sample, which a relay-unsafe block_until_ready does not
+    guarantee (models/common._force rationale)."""
     from bayesic_tpu.utils import diagnostics as diag
+
+    @jax.jit
+    def _diag_fn(qs, divs, nsteps):
+        return (jnp.min(diag.ess(qs)), jnp.max(diag.split_rhat(qs)),
+                jnp.sum(divs), jnp.mean(nsteps))
 
     def once(k):
         if segmented:
             wc, sc = segmented
             return mcmc.run_segmented(k, warmup_chunk=wc, sample_chunk=sc)
-        res_fn, carry0 = mcmc.warmup_and_sample(k, with_states=True)
-        out = jax.jit(res_fn)(carry0)
-        return mcmc._package(*out)
+        # run() caches its compiled program on the instance with PRNG
+        # keys as traced arguments — fresh keys never re-trace
+        return mcmc.run(k)
 
-    once(key)   # compile all segment programs (untimed)
+    r0 = once(key)   # compile run + diagnostics programs (untimed)
+    _ = [float(v) for v in _diag_fn(
+        r0.unconstrained, r0.extra["diverging"], r0.extra["num_steps"])]
 
     stats = []
 
@@ -230,13 +247,13 @@ def bench_nuts_ess(name, mcmc, key, segmented=None, reps=REPS,
         t0 = time.perf_counter()
         res = once(k)
         qs = res.unconstrained            # (chains, samples, dim)
-        _force(qs)
+        min_ess, max_rhat, div, nsteps = _diag_fn(
+            qs, res.extra["diverging"], res.extra["num_steps"])
+        # scalar device_get = the fence for the whole rep
+        min_ess, max_rhat, div, nsteps = (
+            float(min_ess), float(max_rhat), int(div), float(nsteps))
         dt = time.perf_counter() - t0
-        ess = np.asarray(diag.ess(qs))
-        rhat = np.asarray(diag.split_rhat(qs))
-        nsteps = float(np.asarray(res.extra["num_steps"]).mean())
-        stats.append((float(ess.min()), float(rhat.max()), dt, nsteps,
-                      int(np.asarray(res.extra["diverging"]).sum())))
+        stats.append((min_ess, max_rhat, dt, nsteps, div))
         return dt
 
     med, spread, times = _median_protocol(rep, reps=reps)
