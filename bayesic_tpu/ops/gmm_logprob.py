@@ -39,7 +39,40 @@ from jax.scipy.special import logsumexp
 
 _LOG_2PI = math.log(2.0 * math.pi)
 _BN = 512   # lane-dim block of data points
-_PB = 8     # particles per block (sublane tile)
+# Matmul precision split (measured on v5e at the benchmark shape,
+# P=8192, N=2000, K=3: 0.93 ms/eval at HIGHEST everywhere vs 0.38 at
+# DEFAULT everywhere, the mutation's entire cost):
+#   * VALUE dots (the lifted per-point log-density) go through
+#     _dot_3x — a hand-rolled hi/lo bf16 split running 3 single-pass
+#     MXU dots (Mosaic lowers only DEFAULT and HIGHEST; HIGHEST is a
+#     6-pass f32 emulation, 2x the work of the 3-pass split for the
+#     same ~f32 accuracy).  pe enters MH accept ratios, so it needs
+#     f32-level accuracy (a plain bf16 pass is +-0.1/point, +-5 total).
+#   * GRADIENT dots run one DEFAULT (bf16) pass: leapfrog with ANY
+#     fixed gradient field is volume-preserving and reversible, and the
+#     multinomial/MH weights use the exactly-computed potential, so
+#     gradient precision changes trajectory quality only, never the
+#     invariant distribution (same argument as ops/fused_nuts.py).
+_GRAD_DOT_PRECISION = jax.lax.Precision.DEFAULT
+
+
+def _dot_3x(a, b, dims):
+    """f32-accurate dot via 3 single-pass bf16 MXU products:
+    a·b = hi_a·hi_b + hi_a·lo_b + lo_a·hi_b (+ O(2^-16 rel) dropped)."""
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                            preferred_element_type=jnp.float32)
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+# Particles per block.  8 (one f32 sublane tile) made the grid
+# launch-bound: at the benchmark shape (P=8192, N=2000) the grid was
+# (1024, 4) = 4096 blocks and the per-block fixed cost dominated the SMC
+# mutation (~0.9 ms per value+grad launch, 30 launches per stage).  128
+# keeps every per-block buffer comfortably in VMEM (the largest
+# intermediate is K x (PB, BN) f32 = 768 KB) while cutting the grid 16x.
+_PB = 128
 
 
 # ---------------------------------------------------------------------------
@@ -74,11 +107,7 @@ def _ll_terms(xt_ref, logw_ref, musf_ref, sig_ref, *, k, d, bn):
     lls, qs = [], []
     for kk in range(k):
         mu_k = musf_ref[:, kk * d:(kk + 1) * d]          # (PB, D)
-        cross = jax.lax.dot_general(
-            mu_k, xb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                # (PB, BN)
+        cross = _dot_3x(mu_k, xb, (((1,), (0,)), ((), ())))  # (PB, BN)
         mu2 = jnp.sum(mu_k * mu_k, axis=1, keepdims=True)
         sig_k = sig_ref[:, kk:kk + 1]                    # (PB, 1)
         logw_k = logw_ref[:, kk:kk + 1]
@@ -144,7 +173,7 @@ def _bwd_kernel(xt_ref, logw_ref, musf_ref, sig_ref, ct_ref,
         rx = jax.lax.dot_general(
             resp_k, xb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_GRAD_DOT_PRECISION,
         )                                                        # (PB, D)
         mu_k = musf_ref[:, kk * d:(kk + 1) * d]
         sig_k = sig_ref[:, kk:kk + 1]
@@ -362,11 +391,7 @@ def _vg_kernel(a_ref, logw_ref, musf_ref, sig_ref,
         b_k = jnp.concatenate(
             [mu_k * inv_s2, -0.5 * inv_s2, c_k], axis=1
         )                                             # (PB, D+2)
-        ll_k = jax.lax.dot_general(
-            b_k, a, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                             # (PB, NPAD)
+        ll_k = _dot_3x(b_k, a, (((1,), (0,)), ((), ())))  # (PB, NPAD)
         lls.append(ll_k)
         mus_k.append(mu_k)
         sigs_k.append(sig_k)
@@ -385,7 +410,7 @@ def _vg_kernel(a_ref, logw_ref, musf_ref, sig_ref,
         rx = jax.lax.dot_general(
             resp, xb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_GRAD_DOT_PRECISION,
         )                                             # (PB, D)
         sig_k, lw_k, inv_s2 = sigs_k[kk], lws_k[kk], invs2_k[kk]
         # sum_n resp*q from sum_n resp*ll:  q = 2 s^2 (lw - d log s - cc - ll)

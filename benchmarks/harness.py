@@ -526,13 +526,17 @@ def run_gmm():
     for use_pallas in ([False, True] if jax.default_backend() == "tpu"
                        else [False]):
         smc = make(use_pallas)
-        smc.run(jax.random.PRNGKey(0))   # compile/warm (untimed)
+        # stage_chunk=24: the typical run needs ~20 stages, so the whole
+        # tempering loop fits one chunk program and pays ONE ~50 ms relay
+        # fence instead of three (the library default stays 8 — bounded
+        # programs for fault-prone long runs; the bench values wall time)
+        smc.run(jax.random.PRNGKey(0), stage_chunk=24)   # compile (untimed)
         info = {"stages_per_rep": []}
 
         def rep(i):
             k = jax.random.PRNGKey(100 + i)
             t0 = time.perf_counter()
-            res = smc.run(k)
+            res = smc.run(k, stage_chunk=24)
             _force(res.log_evidence)
             dt = time.perf_counter() - t0
             info["stages_per_rep"].append(int(res.num_stages))

@@ -86,9 +86,13 @@ def test_gmm_loglik_grad_fused_parity(pallas_interpret):
     )(lw, mus, sig)
     np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
                                rtol=3e-5, atol=3e-5)
+    # gradients run a single bf16 MXU pass by design (surrogate-precision
+    # gradient field; MH accept uses the f32-accurate value — see the
+    # precision-split note in ops/gmm_logprob.py), so they carry ~4e-3
+    # relative noise; values stay at f32 tolerance above
     for got, ref in zip((dlw, dmus, dsig), g_ref):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=3e-4, atol=3e-4)
+                                   rtol=5e-3, atol=5e-3)
 
 
 def test_smc_mutation_fused_path_matches_vjp():
