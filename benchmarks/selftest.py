@@ -172,6 +172,45 @@ def selftest_matrix_fact(interpret):
                  noise_floor=cfg.noise, loss_gap=loss_gap)
 
 
+def selftest_fused_nuts(interpret):
+    """The fused whole-transition NUTS kernel (ops/fused_nuts.py,
+    VERDICT r3 item 2) through the full MCMC driver on a small DLGM
+    local posterior: the Mosaic program must sample the same posterior
+    as the per-chain XLA NUTS (marginal moments within MC error) with
+    zero divergences and split-R-hat at 1.  This is the on-chip gate for
+    the log-space-randomness / first-leaf-guard invariant — the failure
+    mode it protects against (reduced-precision lane replication rounding
+    a leaf uniform to 1.0, corrupting chain state) ONLY manifests on real
+    TPU matmul hardware, never in interpret mode."""
+    from bayesic_tpu.models import dlgm
+    from bayesic_tpu.utils import diagnostics as diag
+
+    cfg = dlgm.Config(num_data=512, data_dim=16, latent_dim=8, hidden=32,
+                      num_chains=64, num_warmup=150, num_samples=150,
+                      batch_size=128, steps=150)
+    out = dlgm.run_svi(dlgm.Config(num_data=512, data_dim=16,
+                                   latent_dim=8, hidden=32,
+                                   batch_size=128, steps=150))
+    args = (cfg, out["decoder"], out["decoder_params"], out["sigma_x"],
+            out["x"][:16])
+    mcmc_f = dlgm.local_posterior_mcmc_fused(
+        *args, block_chains=32, interpret=interpret)
+    res_f = mcmc_f.run(jax.random.PRNGKey(0))
+    _, res_x = dlgm.local_posterior_mcmc(*args, jax.random.PRNGKey(1),
+                                         shared_adapt=True)
+    zf = np.asarray(res_f.unconstrained).reshape(-1, 16 * cfg.latent_dim)
+    zx = np.asarray(res_x.unconstrained).reshape(-1, 16 * cfg.latent_dim)
+    se = (zx.std(0) + zf.std(0)) / np.sqrt(zf.shape[0] / 4.0) + 0.02
+    mean_err = float(np.abs(zf.mean(0) - zx.mean(0)).max())
+    mean_gate = bool((np.abs(zf.mean(0) - zx.mean(0)) < 6 * se).all())
+    sd_relerr = float(np.abs(zf.std(0) / zx.std(0) - 1.0).max())
+    div = int(np.asarray(res_f.extra["diverging"]).sum())
+    rhat = float(np.asarray(diag.split_rhat(res_f.unconstrained)).max())
+    ok = mean_gate and sd_relerr < 0.3 and div == 0 and rhat < 1.02
+    return _emit("fused_nuts", ok, mean_err=mean_err,
+                 sd_relerr=sd_relerr, divergences=div, max_rhat=rhat)
+
+
 def run_selftest():
     interpret = jax.default_backend() != "tpu"
     if interpret:
@@ -182,6 +221,7 @@ def run_selftest():
         selftest_hier(interpret),
         selftest_matrix_fact(interpret),
         selftest_dlgm(interpret),
+        selftest_fused_nuts(interpret),
     ]
     ok = all(r["ok"] for r in recs)
     _emit("ALL", ok, passed=sum(r["ok"] for r in recs), total=len(recs))
