@@ -322,9 +322,12 @@ class SMC:
         out = init(key_init)
         while True:
             out = chunk(out, key_loop)
-            beta = float(jax.device_get(out.beta))      # chunk fence
-            if beta >= 1.0 or int(jax.device_get(out.stage)) >= \
-                    self.max_stages:
+            # ONE fetch for both loop predicates: through the remote-TPU
+            # relay every device_get is a ~50 ms round trip, and with
+            # stage_chunk covering the whole run the second fetch was a
+            # measurable fraction of total wall
+            beta, stage = jax.device_get((out.beta, out.stage))
+            if float(beta) >= 1.0 or int(stage) >= self.max_stages:
                 break
 
         cons = jax.vmap(lambda q: self._constrain(self._unravel(q)))(out.q)
