@@ -171,6 +171,28 @@ if __name__ == "__main__":
     main()
 
 
+def fused_nuts_mcmc(num_groups, num_features, x, y, group, *, num_warmup,
+                    num_samples, num_chains=128, target_accept=0.85,
+                    max_doublings=6, block_chains=128, mm_dtype="float32",
+                    interpret=False):
+    """The configs[1] full-batch centered NUTS workload routed through the
+    fused Pallas whole-transition kernel (ops/fused_nuts_hier.py): same
+    model density, same MCMC driver (pooled adaptation, Welford windows,
+    diagnostics) with each transition one VMEM-resident kernel launch.
+    Returns the MCMC object (call ``.run(key)`` / bench it)."""
+    from ..ops.fused_nuts_hier import make_batched_transition_hier
+
+    model = make_model(num_groups, num_features, None, centered=True)
+    bt = make_batched_transition_hier(
+        x, y, group, num_groups, num_features, max_doublings=max_doublings,
+        block_chains=min(block_chains, num_chains), mm_dtype=mm_dtype,
+        interpret=interpret)
+    return MCMC(model=model, num_warmup=num_warmup,
+                num_samples=num_samples, num_chains=num_chains,
+                shared_adapt=True, model_args=(x, y, group),
+                target_accept=target_accept, batched_transition=bt)
+
+
 def run_svi_fused(cfg: Config, key=None):
     """Whole-run-in-VMEM Pallas trainer (ops/fused_hier.py): same model,
     same estimator, one kernel launch for all ``cfg.svi_steps`` steps."""

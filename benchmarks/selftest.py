@@ -211,6 +211,50 @@ def selftest_fused_nuts(interpret):
                  sd_relerr=sd_relerr, divergences=div, max_rhat=rhat)
 
 
+def selftest_fused_nuts_hier(interpret):
+    """The fused whole-transition NUTS kernel for hier-logistic
+    (ops/fused_nuts_hier.py): the Mosaic program must sample the same
+    posterior as the per-chain XLA NUTS on a mid-size centered config —
+    marginal moments within MC error, split-R-hat at 1, divergence rate
+    under 1%.  Exercises the PAD-LANE construction (auxiliary N(0,1)
+    dims redrawn per transition) on real matmul hardware, which interpret
+    mode cannot: reduced-precision lane replication is the failure mode
+    the log-space-randomness convention guards against."""
+    from bayesic_tpu.infer.mcmc import MCMC
+    from bayesic_tpu.models import hier_logistic as hl
+    from bayesic_tpu.utils import diagnostics as diag
+
+    cfg = hl.Config(num_groups=16, obs_per_group=100, num_features=4,
+                    seed=0)
+    x, y, group, _ = hl.make_data(cfg)
+    chains, warm, samp = 64, 200, 200
+    mcmc_f = hl.fused_nuts_mcmc(
+        cfg.num_groups, cfg.num_features, x, y, group, num_warmup=warm,
+        num_samples=samp, num_chains=chains, block_chains=chains,
+        interpret=interpret)
+    res_f = mcmc_f.run(jax.random.PRNGKey(0))
+    model = hl.make_model(cfg.num_groups, cfg.num_features, None,
+                          centered=True)
+    mcmc_x = MCMC(model=model, num_warmup=warm, num_samples=samp,
+                  num_chains=chains, shared_adapt=True,
+                  model_args=(x, y, group), target_accept=0.85)
+    res_x = mcmc_x.run(jax.random.PRNGKey(1))
+    f = np.asarray(res_f.unconstrained).reshape(-1,
+                                                res_f.unconstrained.shape[-1])
+    xs = np.asarray(res_x.unconstrained).reshape(f.shape[0], -1)
+    se = (f.std(0) + xs.std(0)) / np.sqrt(f.shape[0] / 4.0) + 0.02
+    mean_err = float(np.abs(f.mean(0) - xs.mean(0)).max())
+    mean_gate = bool((np.abs(f.mean(0) - xs.mean(0)) < 6 * se).all())
+    sd_relerr = float(np.abs(f.std(0) / xs.std(0) - 1.0).max())
+    div = int(np.asarray(res_f.extra["diverging"]).sum())
+    div_rate = div / float(samp * chains)
+    rhat = float(np.asarray(diag.split_rhat(res_f.unconstrained)).max())
+    ok = (mean_gate and sd_relerr < 0.3 and div_rate < 0.01
+          and rhat < 1.02)
+    return _emit("fused_nuts_hier", ok, mean_err=mean_err,
+                 sd_relerr=sd_relerr, divergences=div, max_rhat=rhat)
+
+
 def run_selftest():
     interpret = jax.default_backend() != "tpu"
     if interpret:
@@ -222,6 +266,7 @@ def run_selftest():
         selftest_matrix_fact(interpret),
         selftest_dlgm(interpret),
         selftest_fused_nuts(interpret),
+        selftest_fused_nuts_hier(interpret),
     ]
     ok = all(r["ok"] for r in recs)
     _emit("ALL", ok, passed=sum(r["ok"] for r in recs), total=len(recs))
