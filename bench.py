@@ -1,17 +1,32 @@
 """Headline benchmark: all five BASELINE workloads under the pinned
-protocol (benchmarks/harness.py).  The FINAL stdout line is a COMPACT
-headline-only JSON (≤ ~500 bytes, guaranteed by test_bench_capture.py):
+protocol (benchmarks/harness.py).
 
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "spread": N}
+CAPTURE CONTRACT (hardened round 5 after three zeroed official rounds):
+the driver runs this script under an unknown wall-clock budget, captures a
+bounded TAIL of stdout, and json.loads the LAST line.  Therefore:
+
+  * a COMPACT headline line (≤ ~500 bytes) is printed AND FLUSHED
+    immediately at startup (zeros + ``"status": "starting"``) and again
+    after EVERY workload lands — the last stdout line is parseable at any
+    kill instant, including SIGKILL;
+  * a hard total deadline (``BENCH_DEADLINE_S``, default 1500 s) bounds the
+    whole sweep: when it expires, the final emit runs with whatever partial
+    records exist instead of burning more wall;
+  * SIGTERM/SIGINT are trapped and emit the current partial headline
+    before exiting (the ``timeout`` utility sends SIGTERM first);
+  * every per-workload subprocess timeout is clipped to the remaining
+    deadline, and the TPU probe budget (``BENCH_PROBE_BUDGET_S``, default
+    600 s) is likewise clipped.
+
+Final-line schema (test_bench_capture.py asserts ≤ 500 bytes, parseable):
+
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "spread": N,
+   "status": "starting" | "in-progress k/5" | "complete" | "partial"}
 
 The full per-workload record dict is emitted on an EARLIER stdout line
 (prefixed object with "workloads") and persisted to
-benchmarks/bench_full.json.  Round 3's artifact lesson (VERDICT r3 item 1):
-the driver captures a bounded TAIL of stdout and parses the last line; when
-all 13 workload records were inlined into one giant line, the line start
-fell outside the window and the official headline recorded `parsed: null`
-despite rc 0.  The compact-final-line format is therefore a contract, not a
-style choice.
+benchmarks/bench_full.json — round 3's lesson: never inline it into the
+final line (the line start fell outside the driver's tail window).
 
 The headline metric stays the flagship DLGM ELBO-steps/s/chip (the round-1
 series value); `vs_baseline` is this run / round-1's 13,541.9 — the
@@ -21,26 +36,17 @@ per-workload entry carries the protocol's `spread` (window (max-min)/median
 under the fastest-K protocol) — cross-round comparisons must quote it,
 because the shared TPU tunnel varies up to ~40% between sweeps.
 
-Capture resilience (VERDICT r2 item 1 — the round-2 official capture
-recorded 0.0 from a single 240 s probe against a wedged relay):
-  * the TPU probe RETRIES with backoff for up to ~BENCH_PROBE_BUDGET_S
-    seconds (default 4500 s) before declaring the device unreachable —
-    observed relay outages last 40+ minutes and resolve on their own;
-  * per-workload records are CHECKPOINTED to benchmarks/.bench_partial.json
-    as they land, and a rerun within 12 h RESUMES the sweep instead of
-    restarting (BENCH_FRESH=1 forces a restart);
-  * if a workload exhausts its two attempts, the TPU is re-probed (the
-    relay may have died mid-sweep) before moving on, and the final JSON
-    line is emitted with whatever records exist — a partial sweep beats a
-    zero.
-
-Each workload runs in a FRESH subprocess (a remote-TPU worker crash poisons
-the client process; subprocess isolation + one retry recovers), with the
-persistent compile cache keeping wall time sane.
+Resilience carried over from rounds 2-4: the TPU probe retries with backoff
+(relay outages of 40+ min resolve on their own), per-workload records are
+CHECKPOINTED to benchmarks/.bench_partial.json as they land, and a rerun
+within 12 h RESUMES the sweep (BENCH_FRESH=1 forces a restart).  Each
+workload runs in a FRESH subprocess (a remote-TPU worker crash poisons the
+client process) with the persistent compile cache keeping wall time sane.
 """
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -52,10 +58,21 @@ R1_HEADLINE = 13541.9   # BENCH_r01.json dlgm_elbo_steps_per_s_per_chip
 WORKLOADS = ("linreg", "hier_logistic", "matrix_fact", "gmm", "dlgm")
 
 PARTIAL_PATH = os.path.join(HERE, "benchmarks", ".bench_partial.json")
+FULL_PATH = os.path.join(HERE, "benchmarks", "bench_full.json")
 PARTIAL_TTL_S = 12 * 3600      # a resume older than this is a new round
 PROBE_TIMEOUT_S = 240          # one jax.devices() attempt
-PROBE_INTERVAL_S = 180         # sleep between failed probes
-PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_BUDGET_S", "4500"))
+PROBE_INTERVAL_S = 120         # sleep between failed probes
+PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_BUDGET_S", "600"))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+WORKLOAD_TIMEOUT_S = float(os.environ.get("BENCH_WORKLOAD_TIMEOUT_S", "1200"))
+
+_T0 = time.time()
+
+
+def remaining():
+    """Seconds left on the hard sweep deadline (never negative)."""
+    return max(0.0, DEADLINE_S - (time.time() - _T0))
+
 
 # fields worth carrying into the aggregate line per record
 KEEP = ("metric", "value", "unit", "spread", "reps", "min_ess", "max_rhat",
@@ -63,17 +80,80 @@ KEEP = ("metric", "value", "unit", "spread", "reps", "min_ess", "max_rhat",
         "achieved_tflops", "platform")
 
 
+def headline_record(done):
+    """The best supported configuration of the flagship DLGM workload:
+    since round 2 that is the whole-run fused Pallas trainer
+    (ops/fused_vae.py, same model/estimator — record `dlgm_fused`), with
+    the XLA-path `dlgm` record kept alongside for the like-for-like
+    series."""
+    by_model = {}
+    for recs in done.values():
+        for r in recs:
+            by_model[r["model"]] = {k: r[k] for k in KEEP if k in r}
+    headline = by_model.get("dlgm", {})
+    fused = by_model.get("dlgm_fused", {})
+    if fused.get("value", 0.0) > headline.get("value", 0.0):
+        headline = fused
+    return by_model, headline
+
+
+def compact_line(done, status, error=None):
+    """The ≤500-byte JSON line the driver parses.  Printed at startup,
+    after every workload, and as the final line — so a kill at ANY instant
+    leaves a parseable last line on stdout."""
+    _, headline = headline_record(done)
+    value = float(headline.get("value", 0.0))
+    compact = {
+        "metric": "dlgm_elbo_steps_per_s_per_chip",
+        "value": value,
+        "unit": "steps/s/chip",
+        "vs_baseline": round(value / R1_HEADLINE, 4) if value else 0.0,
+        "spread": headline.get("spread"),
+        "status": status,
+    }
+    if error:
+        compact["error"] = error[:120]
+    line = json.dumps(compact)
+    assert len(line) <= 500, f"headline line too long ({len(line)}B)"
+    return line
+
+
+def print_compact(done, status, error=None):
+    print(compact_line(done, status, error), flush=True)
+
+
+# --- SIGTERM/SIGINT: emit the current partial headline before dying ------
+_CURRENT = {"done": {}, "status": "starting"}
+
+
+def _term_handler(signum, frame):  # noqa: ARG001 — signal signature
+    # keep it async-signal-simple: one write + flush, then hard exit
+    try:
+        line = compact_line(_CURRENT["done"],
+                            "partial",
+                            error=f"killed by signal {signum} mid-sweep")
+        sys.stdout.write(line + "\n")
+        sys.stdout.flush()
+    finally:
+        os._exit(1)
+
+
 def run_workload(name):
     env = dict(os.environ)
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(HERE, ".jax_cache")
     for attempt in (1, 2):
+        budget = min(WORKLOAD_TIMEOUT_S, remaining())
+        if budget < 30:
+            print(f"bench: deadline leaves {budget:.0f}s — skipping "
+                  f"{name} attempt {attempt}", file=sys.stderr)
+            return []
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
             tmp = tf.name
         try:
             proc = subprocess.run(
                 [sys.executable, "-m", "benchmarks.harness", "--model",
                  name, "--out", tmp],
-                capture_output=True, timeout=3000, text=True, cwd=HERE,
+                capture_output=True, timeout=budget, text=True, cwd=HERE,
                 env=env,
             )
         except subprocess.TimeoutExpired:
@@ -110,15 +190,19 @@ def probe_once(timeout=PROBE_TIMEOUT_S):
         return False
 
 
-def wait_for_tpu(budget_s=PROBE_BUDGET_S):
+def wait_for_tpu(budget_s=None):
     """Patient probe: relay outages of 40+ minutes resolve on their own
     (observed 2026-08-18), so one failed probe must not zero the round.
-    Retries every PROBE_INTERVAL_S until the budget would be exceeded."""
+    Retries every PROBE_INTERVAL_S until the budget — clipped to the hard
+    sweep deadline — would be exceeded."""
+    if budget_s is None:
+        budget_s = PROBE_BUDGET_S
+    budget_s = min(budget_s, remaining())
     t0 = time.time()
     attempt = 0
     while True:
         attempt += 1
-        if probe_once():
+        if probe_once(timeout=min(PROBE_TIMEOUT_S, max(30.0, remaining()))):
             if attempt > 1:
                 print(f"bench: TPU back after {time.time()-t0:.0f}s "
                       f"({attempt} probes)", file=sys.stderr)
@@ -158,29 +242,19 @@ def save_partial(done):
         print(f"bench: partial save failed: {e}", file=sys.stderr)
 
 
-FULL_PATH = os.path.join(HERE, "benchmarks", "bench_full.json")
-
-
-def emit(done, error=None):
-    """Emit results: full per-workload dict on an EARLY line (and to
+def emit(done, error=None, status=None):
+    """Final emit: full per-workload dict on an EARLY line (and to
     benchmarks/bench_full.json), compact headline-only JSON as the FINAL
-    line.  The driver parses the last line of a bounded stdout tail, so the
-    final line must stay small (test_bench_capture.py asserts ≤ 500 bytes
-    and json.loads-ability)."""
-    by_model = {}
-    for recs in done.values():
-        for r in recs:
-            by_model[r["model"]] = {k: r[k] for k in KEEP if k in r}
-
-    # headline = the best supported configuration of the flagship DLGM
-    # workload: since round 2 that is the whole-run fused Pallas trainer
-    # (ops/fused_vae.py, same model/estimator — record `dlgm_fused`), with
-    # the XLA-path `dlgm` record kept alongside for the like-for-like series
-    headline = by_model.get("dlgm", {})
-    fused = by_model.get("dlgm_fused", {})
-    if fused.get("value", 0.0) > headline.get("value", 0.0):
-        headline = fused
+    line.  A compact line is also printed BEFORE the full dict, so even a
+    kill between the two lines leaves a parseable last line within the
+    driver's bounded tail window."""
+    by_model, headline = headline_record(done)
     value = float(headline.get("value", 0.0))
+    complete = all(name in done and done[name] for name in WORKLOADS)
+    if status is None:
+        status = "complete" if complete and not error else "partial"
+
+    print_compact(done, status, error)
 
     full = {"workloads": by_model}
     if error:
@@ -190,29 +264,23 @@ def emit(done, error=None):
             json.dump(full, f, indent=1)
     except OSError as e:
         print(f"bench: bench_full.json write failed: {e}", file=sys.stderr)
-    print(json.dumps(full))          # early line: full records
+    print(json.dumps(full), flush=True)   # early line: full records
 
-    compact = {
-        "metric": "dlgm_elbo_steps_per_s_per_chip",
-        "value": value,
-        "unit": "steps/s/chip",
-        "vs_baseline": round(value / R1_HEADLINE, 4) if value else 0.0,
-        "spread": headline.get("spread"),
-    }
-    if error:
-        compact["error"] = error[:120]
-    line = json.dumps(compact)
-    assert len(line) <= 500, f"headline line too long ({len(line)}B)"
-    print(line)                      # FINAL line: compact, parseable
-    complete = all(name in done and done[name] for name in WORKLOADS)
+    print_compact(done, status, error)    # FINAL line: compact, parseable
     return 0 if complete and value > 0 else 1
 
 
 def main():
+    signal.signal(signal.SIGTERM, _term_handler)
+    signal.signal(signal.SIGINT, _term_handler)
+
     done = load_partial()
+    _CURRENT["done"] = done
     if done:
         print(f"bench: resuming sweep, have {sorted(done)}",
               file=sys.stderr)
+    # startup line: the last stdout line is parseable from second zero
+    print_compact(done, "starting")
 
     if not wait_for_tpu():
         return emit(done, error=(
@@ -220,13 +288,18 @@ def main():
             f"{PROBE_BUDGET_S:.0f}s (wedged relay/worker); records shown "
             "are from the checkpointed partial sweep, if any"))
 
-    for name in WORKLOADS:
+    for i, name in enumerate(WORKLOADS):
         if done.get(name):
             continue
+        if remaining() < 30:
+            return emit(done, error=(
+                f"deadline {DEADLINE_S:.0f}s expired before {name}; "
+                "partial records emitted"))
         recs = run_workload(name)
         if recs:
             done[name] = recs
             save_partial(done)
+            print_compact(done, f"in-progress {i + 1}/{len(WORKLOADS)}")
             continue
         # both attempts failed — most likely the relay died mid-sweep;
         # wait for it before burning the remaining workloads' attempts
@@ -239,6 +312,7 @@ def main():
         if recs:
             done[name] = recs
             save_partial(done)
+            print_compact(done, f"in-progress {i + 1}/{len(WORKLOADS)}")
         else:
             print(f"bench: {name} failed with TPU reachable — skipping",
                   file=sys.stderr)

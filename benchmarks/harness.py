@@ -401,6 +401,23 @@ def run_hier_logistic():
         cost_per_leapfrog=roofline.hier_logistic_nuts_leapfrog(
             n_obs, cfg.num_features, chains),
     ))
+
+    # the SAME workload through the fused Pallas whole-transition kernel
+    # (ops/fused_nuts_hier.py, VERDICT r4 item 2): identical model density,
+    # driver, adaptation and diagnostics, held to the same R-hat gate and
+    # capped-ESS protocol — only the per-transition tree build runs as one
+    # VMEM-resident kernel launch per chain block.
+    if jax.default_backend() == "tpu":
+        mcmc_f = hl.fused_nuts_mcmc(
+            cfg.num_groups, cfg.num_features, x, y, group,
+            num_warmup=warm, num_samples=samp, num_chains=chains,
+            target_accept=0.85)
+        recs.append(bench_nuts_ess(
+            "hier_logistic_nuts_fused", mcmc_f, jax.random.PRNGKey(1),
+            segmented=(125, 150),
+            cost_per_leapfrog=roofline.hier_logistic_nuts_leapfrog(
+                n_obs, cfg.num_features, chains),
+        ))
     return recs
 
 

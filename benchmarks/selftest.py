@@ -269,5 +269,23 @@ def run_selftest():
         selftest_fused_nuts_hier(interpret),
     ]
     ok = all(r["ok"] for r in recs)
-    _emit("ALL", ok, passed=sum(r["ok"] for r in recs), total=len(recs))
+    _emit("ALL", ok, passed=sum(r["ok"] for r in recs), total=len(recs),
+          git_sha=_git_sha())
     return recs, ok
+
+
+def _git_sha():
+    """Stamp the artifact with the commit it tested (ADVICE r4: a stale
+    selftest_rN.json must be detectable — r4's artifact predated the 6th
+    gate and recorded 5/5 against a 6-gate suite)."""
+    import os
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
