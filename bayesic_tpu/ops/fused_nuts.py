@@ -167,6 +167,48 @@ def _widen(tile, n_chunks):
 # lane-packed potential + gradient (pure jnp: runs in-kernel and outside)
 # ---------------------------------------------------------------------------
 
+_NT = (((1,), (0,)), ((), ()))
+
+
+def _dot_3x(a, b):
+    """f32-accurate dot via 3 single-pass bf16 MXU products (the GMM
+    mutation kernel's value-dot split, ops/gmm_logprob.py):
+    a·b = hi_a·hi_b + hi_a·lo_b + lo_a·hi_b (+ O(2^-16 rel) dropped).
+    Mosaic lowers only DEFAULT (1-pass bf16) and HIGHEST (6-pass f32
+    emulation); this is ~f32 accuracy at half HIGHEST's MXU passes."""
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = functools.partial(lax.dot_general, dimension_numbers=_NT,
+                            preferred_element_type=jnp.float32)
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+
+def _make_mms(mm_dtype):
+    """(value_mm, grad_mm) for a potential's forward/backward dots.
+
+    mm_dtype == "split" selects the GMM-proven precision split (VERDICT
+    r4 item 4): VALUE dots via the 3-pass hi/lo bf16 split (pe enters
+    the multinomial weights and MH ratios, so it needs ~f32 accuracy);
+    GRADIENT dots as ONE bf16 pass — leapfrog with ANY fixed gradient
+    field is volume-preserving and reversible, and the acceptance
+    weights use the exactly-computed potential, so gradient precision
+    changes trajectory quality only, never the invariant distribution
+    (module docstring; same argument as ops/gmm_logprob.py).
+    Any other mm_dtype keeps the original single-dtype behavior."""
+    if mm_dtype == "split":
+        grad_mm = lambda a, b: lax.dot_general(  # noqa: E731
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), _NT,
+            preferred_element_type=jnp.float32)
+        return _dot_3x, grad_mm
+    dt = jnp.dtype(mm_dtype)
+    mm = lambda a, b: lax.dot_general(  # noqa: E731
+        a.astype(dt), b.astype(dt), _NT,
+        preferred_element_type=jnp.float32)
+    return mm, mm
+
+
 def make_packed_potential(w1p, w2p, w1pt, w2pt, b1p, b2p, x_rep, sigma,
                           n_groups, block_chains, nb, latent_dim, data_dim,
                           mm_dtype=jnp.float32):
@@ -174,24 +216,22 @@ def make_packed_potential(w1p, w2p, w1pt, w2pt, b1p, b2p, x_rep, sigma,
     D = n_groups*128.  Matches models/dlgm.local_posterior_mcmc's model
     log-density exactly (incl. normalization constants) — asserted in
     tests/test_fused_nuts.py.  pe comes back as a (C, 128) scalar tile
-    (see the scalar-tile convention above)."""
+    (see the scalar-tile convention above).  mm_dtype="split" selects
+    the value/gradient precision split (_make_mms)."""
     inv_s2 = 1.0 / float(sigma * sigma)
     const = (0.5 * _LOG_2PI * (nb * latent_dim + nb * data_dim)
              + nb * data_dim * float(np.log(sigma)))
     c = block_chains
-    dot = functools.partial(lax.dot_general,
-                            preferred_element_type=jnp.float32)
-    mm = lambda a, b: dot(a.astype(mm_dtype), b.astype(mm_dtype),  # noqa: E731
-                          (((1,), (0,)), ((), ())))
+    val_mm, grad_mm = _make_mms(mm_dtype)
 
     def pg(q):
         ones_128 = jnp.ones((128, 128), jnp.float32)
         # (C, D) -> (G*C, 128) by lane-slice + sublane-concat (g, c) order
         z4 = jnp.concatenate(
             [q[:, g * 128:(g + 1) * 128] for g in range(n_groups)], 0)
-        h = mm(z4, w1p) + b1p
+        h = val_mm(z4, w1p) + b1p
         a = jnp.tanh(h)
-        mu = mm(a, w2p) + b2p
+        mu = val_mm(a, w2p) + b2p
         res = mu - x_rep
         sq = _rowsum_tile(res * res, ones_128)             # (G*C, 128)
         sq_c = sq[0:c]
@@ -200,8 +240,8 @@ def make_packed_potential(w1p, w2p, w1pt, w2pt, b1p, b2p, x_rep, sigma,
         pe = (0.5 * _rowsum_tile(q * q, ones_128)
               + (0.5 * inv_s2) * sq_c + const)
         dmu = res * inv_s2
-        da = mm(dmu, w2pt) * (1.0 - a * a)
-        dz4 = mm(da, w1pt)                                 # (G*C, 128)
+        da = grad_mm(dmu, w2pt) * (1.0 - a * a)
+        dz4 = grad_mm(da, w1pt)                            # (G*C, 128)
         dz = jnp.concatenate(
             [dz4[g * c:(g + 1) * c] for g in range(n_groups)], 1)
         return pe, q + dz
@@ -498,7 +538,7 @@ def fused_nuts_transition(q, pe, grad, mom, sign_dir, log_u_acc,
     c = block_chains
     assert n % c == 0
     kk = max_doublings
-    mmd = jnp.dtype(mm_dtype)
+    mmd = mm_dtype if mm_dtype == "split" else jnp.dtype(mm_dtype)
 
     kernel = functools.partial(
         _kernel, sigma=sigma, n_groups=n_groups, block_chains=c, nb=nb,

@@ -97,13 +97,14 @@ def make_hier_potential(a, a_t, y_row, w_row, num_groups, num_features,
     lanes, plus 0.5*||pad||^2 for the pad lanes — asserted in
     tests/test_fused_nuts_hier.py.  pe returns as a (C, 128) scalar tile
     (every lane the value), grad as (C, 128)."""
+    from .fused_nuts import _make_mms
+
     jj = int(num_groups)
     ff = int(num_features)
     dim = 2 + jj + ff
-    dot = functools.partial(lax.dot_general,
-                            preferred_element_type=jnp.float32)
-    mm = lambda p, q_: dot(p.astype(mm_dtype), q_.astype(mm_dtype),  # noqa: E731
-                           (((1,), (0,)), ((), ())))
+    # mm_dtype="split": f32-accurate value dots (3-pass hi/lo bf16),
+    # single-pass bf16 gradient dots — see ops.fused_nuts._make_mms
+    val_mm, grad_mm = _make_mms(mm_dtype)
     # unconstrained density constants: mu ~ N(0, 5): log 5 + 0.5 log 2pi;
     # tau ~ HalfNormal(2) with exp transform: potential constant
     # -(0.5 log 2 - 0.5 log pi - log 2) = 0.5 log(2 pi); theta, beta
@@ -134,7 +135,7 @@ def make_hier_potential(a, a_t, y_row, w_row, num_groups, num_features,
         s1 = _rowsum_tile(dtheta, ones_128)
         s2 = _rowsum_tile(dtheta * dtheta, ones_128)
 
-        logits = mm(q, a_t)                               # (C, Npad)
+        logits = val_mm(q, a_t)                           # (C, Npad)
         # stable softplus: max(l, 0) + log1p(exp(-|l|))
         sp = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
         terms = w_row * (sp - y_row * logits)
@@ -149,7 +150,7 @@ def make_hier_potential(a, a_t, y_row, w_row, num_groups, num_features,
 
         sig = jax.nn.sigmoid(logits)
         dpl = w_row * (sig - y_row)
-        g_lik = mm(dpl, a)                                # (C, 128)
+        g_lik = grad_mm(dpl, a)                           # (C, 128)
         grad = (g_lik
                 + dtheta * inv_t2
                 + m_mu * (mu_t / 25.0 - s1 * inv_t2)
@@ -211,7 +212,7 @@ def fused_hier_nuts_transition(q, mom, sign_dir, log_u_acc, log_u_leaf,
     c = min(block_chains, n)
     assert n % c == 0
     kk = max_doublings
-    mmd = jnp.dtype(mm_dtype)
+    mmd = mm_dtype if mm_dtype == "split" else jnp.dtype(mm_dtype)
 
     kernel = functools.partial(
         _kernel, num_groups=num_groups, num_features=num_features,

@@ -184,10 +184,39 @@ def test_kernel_interpret_matches_core():
     assert bool(jnp.any(got[0] != q))
 
 
-def test_fused_sampler_matches_xla_nuts_posterior():
+def test_precision_split_potential_accuracy():
+    """mm_dtype="split" (VERDICT r4 item 4): the 3-pass hi/lo bf16 value
+    dots must reproduce the f32 potential to ~f32 accuracy (pe enters MH
+    ratios), while the single-pass bf16 gradient dots stay within bf16
+    tolerance of the exact gradient (trajectory-quality only)."""
+    cfg, dec, dec_params, x_batch, sigma = _setup()
+    nb = x_batch.shape[0]
+    c = 8
+    pg32, packed = _packed(cfg, dec_params, x_batch, sigma, c)
+    w1p, w2p, w1pt, w2pt, b1p, b2p, x_rep = packed
+    r = 128 // cfg.latent_dim
+    pg_split = fn.make_packed_potential(
+        w1p, w2p, w1pt, w2pt, b1p, b2p, x_rep, sigma, nb // r, c, nb,
+        cfg.latent_dim, x_batch.shape[1], mm_dtype="split")
+
+    q = jax.random.normal(jax.random.PRNGKey(3),
+                          (c, nb * cfg.latent_dim)) * 0.7
+    pe32, g32 = pg32(q)
+    pe_s, g_s = pg_split(q)
+    np.testing.assert_allclose(np.asarray(pe_s)[:, 0],
+                               np.asarray(pe32)[:, 0], rtol=1e-4)
+    scale = float(jnp.max(jnp.abs(g32)))
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g32),
+                               atol=2e-2 * scale)
+
+
+@pytest.mark.parametrize("mm_dtype", ["float32", "split"])
+def test_fused_sampler_matches_xla_nuts_posterior(mm_dtype):
     """End-to-end through the MCMC driver: fused transition (interpret)
     vs the per-chain XLA NUTS on the same DLGM local posterior — marginal
-    moments must agree within MC error."""
+    moments must agree within MC error.  The "split" variant runs bf16
+    gradient dots in the tree: the invariant distribution must be
+    unchanged (the acceptance weights use the exact potential)."""
     cfg, dec, dec_params, x_batch, sigma = _setup(
         nb=16, latent=8, hidden=16, data_dim=8, chains=16)
     cfg = cfg.__class__(**{**cfg.__dict__, "num_chains": 16,
@@ -195,7 +224,7 @@ def test_fused_sampler_matches_xla_nuts_posterior():
 
     mcmc_f = dlgm.local_posterior_mcmc_fused(
         cfg, dec, dec_params, sigma, x_batch, max_doublings=5,
-        block_chains=8, interpret=True)
+        block_chains=8, mm_dtype=mm_dtype, interpret=True)
     res_f = mcmc_f.run(jax.random.PRNGKey(0))
 
     mcmc_x, res_x = dlgm.local_posterior_mcmc(

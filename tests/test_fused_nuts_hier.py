@@ -67,6 +67,27 @@ def test_hier_potential_matches_logjoint():
                                q[:, dim:], rtol=1e-6, atol=1e-6)
 
 
+def test_hier_precision_split_potential_accuracy():
+    """mm_dtype="split": pe must match the f32 potential to ~f32
+    accuracy (it enters the MH/multinomial weights); the bf16 gradient
+    is trajectory-quality-only and gets bf16-level tolerance."""
+    cfg, model, x, y, group = _setup()
+    a, a_t, y_row, w_row = fnh.build_design(x, y, group, cfg.num_groups)
+    pg32 = fnh.make_hier_potential(a, a_t, y_row, w_row, cfg.num_groups,
+                                   cfg.num_features)
+    pg_s = fnh.make_hier_potential(a, a_t, y_row, w_row, cfg.num_groups,
+                                   cfg.num_features, mm_dtype="split")
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(0.0, 0.7, (8, 128)), jnp.float32)
+    pe32, g32 = pg32(q)
+    pe_s, g_s = pg_s(q)
+    np.testing.assert_allclose(np.asarray(pe_s)[:, 0],
+                               np.asarray(pe32)[:, 0], rtol=1e-4)
+    scale = float(jnp.max(jnp.abs(g32)))
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g32),
+                               atol=2e-2 * scale)
+
+
 def test_hier_kernel_interpret_pe_invariant():
     """Interpret-mode kernel: the returned pe must equal pe(q') for the
     returned q' (state consistency through the Mosaic wrapper), and the
