@@ -62,6 +62,8 @@ class _SMCCarry(NamedTuple):
     stage: jax.Array
     step_size: jax.Array
     accept: jax.Array
+    ll: jax.Array            # (N,) loglik(q) — kept current only on the
+                             # fused-mutation path (the kernel returns it)
 
 
 class SMC:
@@ -84,8 +86,8 @@ class SMC:
                  hmc_leapfrog_steps=5, max_stages=100, init_step_size=0.2,
                  target_accept=0.65, model_args=(), model_kwargs=None,
                  particle_sharding=None, batched_loglik=None,
-                 batched_loglik_grad=None, precondition=False,
-                 step_adapt="da"):
+                 batched_loglik_grad=None, batched_mutation=None,
+                 precondition=False, step_adapt="da"):
         self.model = model
         self.n = int(num_particles)
         self.ess_target = float(ess_target)
@@ -159,6 +161,13 @@ class SMC:
         # qs (P, dim) -> ((P,), (P, dim)) — one kernel launch per leapfrog
         # gradient instead of a traced fwd+bwd pair.
         self._loglik_vg = batched_loglik_grad
+        # Whole-stage fused mutation (ops/fused_smc_gmm.py, VERDICT r4
+        # item 5): ``(key, q, beta, step_size, m_inv) -> (q', ll',
+        # accept, next_step)`` — one kernel launch runs all K HMC
+        # transitions AND returns the final particles' log-likelihood,
+        # which the next stage's reweight/bisection reuses (the stage
+        # then never calls the separate batched likelihood).
+        self._batched_mutation = batched_mutation
 
     # ------------------------------------------------------------------
     def _init_particles(self, key):
@@ -349,13 +358,19 @@ class SMC:
                 q0, jnp.zeros(self.n), jnp.zeros(()), jnp.zeros(()),
                 jnp.zeros((), jnp.int32),
                 jnp.asarray(self.init_step_size), jnp.ones(()),
+                self._loglik(q0),
             )
 
         def body(c: _SMCCarry, key_loop):
             k_stage = jax.random.fold_in(key_loop, c.stage)
             k_res, k_mut = jax.random.split(k_stage)
 
-            ll = self._loglik(c.q)
+            # fused path: carry.ll is loglik(c.q) maintained by the
+            # mutation kernel; default path: evaluate fresh
+            if self._batched_mutation is not None:
+                ll = c.ll
+            else:
+                ll = self._loglik(c.q)
             new_beta = self._next_beta(c.beta, ll, c.log_w)
             delta = new_beta - c.beta
 
@@ -370,6 +385,7 @@ class SMC:
             anc = systematic_ancestors(k_res, log_w)
             q_res = jnp.take(c.q, anc, axis=0)
             q = jnp.where(do_resample, q_res, c.q)
+            ll = jnp.where(do_resample, jnp.take(ll, anc, axis=0), ll)
             log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w)
 
             # HMC mutation at the new temperature
@@ -381,12 +397,16 @@ class SMC:
                 m_inv = jnp.clip(var, 1e-8, 1e8)
             else:
                 m_inv = None
-            q, accept, step_size = self._mutate(k_mut, q, new_beta,
-                                                c.step_size, m_inv)
+            if self._batched_mutation is not None:
+                q, ll, accept, step_size = self._batched_mutation(
+                    k_mut, q, new_beta, c.step_size, m_inv)
+            else:
+                q, accept, step_size = self._mutate(k_mut, q, new_beta,
+                                                    c.step_size, m_inv)
 
             return _SMCCarry(
                 q, log_w, new_beta, c.log_evidence + log_ev_inc,
-                c.stage + 1, step_size, accept,
+                c.stage + 1, step_size, accept, ll,
             )
 
 

@@ -114,6 +114,21 @@ def make_batched_loglik_grad(info, unravel, ravel, x):
     return loglik_vg
 
 
+def make_batched_mutation(cfg: Config, x, interpret=None,
+                          target_accept=0.65):
+    """Whole-stage fused mutation (ops/fused_smc_gmm.py, VERDICT r4
+    item 5): one kernel launch per stage runs every HMC transition and
+    returns the final particles' log-likelihood for the next stage's
+    reweight.  Plugs into SMC's ``batched_mutation=``."""
+    from ..ops.fused_smc_gmm import make_batched_mutation as _mk
+
+    k, d = cfg.num_components, cfg.data_dim
+    dim = (k - 1) + k * d + k
+    return _mk(x, k, d, dim, kmut=cfg.mutation_steps,
+               lsteps=cfg.leapfrog_steps, target_accept=target_accept,
+               interpret=interpret)
+
+
 def _true_loglik(x, truth):
     from scipy.stats import multivariate_normal
     xn = np.asarray(x)

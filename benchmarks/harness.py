@@ -527,28 +527,34 @@ def run_gmm():
     model = gmm.make_model(cfg, x)
     from bayesic_tpu.infer.smc import SMC
 
-    def make(use_pallas):
-        bl = blg = None
-        if use_pallas:
+    def make(mode):
+        bl = blg = bm = None
+        if mode != "xla":
             probe = SMC(model, num_particles=cfg.num_particles)
             bl = gmm.make_batched_loglik(probe.info, probe._unravel, x)
             blg = gmm.make_batched_loglik_grad(
                 probe.info, probe._unravel, probe._ravel, x)
+        if mode == "fused":
+            # whole-stage fused mutation (ops/fused_smc_gmm.py): one
+            # launch per stage + carried loglik (VERDICT r4 item 5)
+            bm = gmm.make_batched_mutation(cfg, x)
         return SMC(model, num_particles=cfg.num_particles,
                    mutation_steps=cfg.mutation_steps,
                    hmc_leapfrog_steps=cfg.leapfrog_steps,
-                   batched_loglik=bl, batched_loglik_grad=blg)
+                   batched_loglik=bl, batched_loglik_grad=blg,
+                   batched_mutation=bm)
 
     recs = []
-    for use_pallas in ([False, True] if jax.default_backend() == "tpu"
-                       else [False]):
-        smc = make(use_pallas)
+    modes = (["xla", "pallas", "fused"]
+             if jax.default_backend() == "tpu" else ["xla"])
+    for mode in modes:
+        smc = make(mode)
         # stage_chunk=24: the typical run needs ~20 stages, so the whole
         # tempering loop fits one chunk program and pays ONE ~50 ms relay
         # fence instead of three (the library default stays 8 — bounded
         # programs for fault-prone long runs; the bench values wall time)
         smc.run(jax.random.PRNGKey(0), stage_chunk=24)   # compile (untimed)
-        info = {"stages_per_rep": []}
+        info = {"stages_per_rep": [], "logz": []}
 
         def rep(i):
             k = jax.random.PRNGKey(100 + i)
@@ -557,6 +563,7 @@ def run_gmm():
             _force(res.log_evidence)
             dt = time.perf_counter() - t0
             info["stages_per_rep"].append(int(res.num_stages))
+            info["logz"].append(float(res.log_evidence))
             return dt
 
         med, spread, times = _median_protocol(rep)
@@ -566,11 +573,17 @@ def run_gmm():
         i_med = int(np.argmin([abs(t - med) for t in times]))
         stages = info["stages_per_rep"][i_med]
         rec = _record(
-            "gmm_smc" + ("_pallas" if use_pallas else ""),
+            "gmm_smc" + {"xla": "", "pallas": "_pallas",
+                         "fused": "_fused"}[mode],
             "particle_stages_per_s_per_chip",
             cfg.num_particles * stages / med / jax.device_count(),
             "particle-stages/s/chip", stages=stages, wall_s=round(med, 2),
             reps=len(times), spread=round(spread, 4),
+            # log-evidence per the median rep + across-seed spread: the
+            # fused-stage record must show logZ stability (VERDICT r4
+            # item 5's acceptance bar)
+            log_evidence=round(info["logz"][i_med], 2),
+            logz_range=round(max(info["logz"]) - min(info["logz"]), 2),
         )
         f, b = roofline.gmm_smc_stage(
             cfg.num_particles, cfg.num_data, cfg.num_components, 2,

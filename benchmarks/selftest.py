@@ -255,6 +255,46 @@ def selftest_fused_nuts_hier(interpret):
                  sd_relerr=sd_relerr, divergences=div, max_rhat=rhat)
 
 
+def selftest_fused_smc_stage(interpret):
+    """The whole-stage fused SMC mutation kernel (ops/fused_smc_gmm.py,
+    VERDICT r4 item 5) through the full SMC driver on the smoke GMM: the
+    Mosaic program must land the same log-evidence and predictive
+    quality as the default XLA mutation path, with a healthy acceptance
+    rate.  On TPU this exercises the real bf16 hi/lo value dots and the
+    per-block dual-averaging scalars on hardware."""
+    from bayesic_tpu.infer.smc import SMC
+    from bayesic_tpu.models import gmm
+
+    cfg = gmm.Config(num_data=500, num_particles=1024, mutation_steps=3,
+                     leapfrog_steps=4, seed=0)
+    x, _ = gmm.make_data(cfg)
+    model = gmm.make_model(cfg, x)
+    base = SMC(model, num_particles=cfg.num_particles,
+               mutation_steps=cfg.mutation_steps,
+               hmc_leapfrog_steps=cfg.leapfrog_steps)
+    bm = gmm.make_batched_mutation(cfg, x,
+                                   interpret=interpret or None)
+    fused = SMC(model, num_particles=cfg.num_particles,
+                mutation_steps=cfg.mutation_steps,
+                hmc_leapfrog_steps=cfg.leapfrog_steps,
+                batched_mutation=bm)
+    res_b = base.run(jax.random.PRNGKey(0))
+    res_f = fused.run(jax.random.PRNGKey(0))
+    logz_gap = abs(float(res_f.log_evidence) - float(res_b.log_evidence))
+    pred_b = gmm.predictive_loglik(res_b, x, cfg)
+    pred_f = gmm.predictive_loglik(res_f, x, cfg)
+    pred_gap = abs(pred_f - pred_b)
+    acc = float(res_f.accept_rate)
+    # logZ tolerance sized to the estimator's own across-seed MC spread
+    # (the default path alone spans ~17 units at 512 particles on the
+    # smoke config; 1024 particles tightens it)
+    ok = logz_gap < 12.0 and pred_gap < 0.25 and 0.05 < acc <= 1.0
+    return _emit("fused_smc_stage", ok, logz_gap=logz_gap,
+                 pred_gap=pred_gap, accept=acc,
+                 stages_fused=int(res_f.num_stages),
+                 stages_base=int(res_b.num_stages))
+
+
 def run_selftest():
     interpret = jax.default_backend() != "tpu"
     if interpret:
@@ -267,6 +307,7 @@ def run_selftest():
         selftest_dlgm(interpret),
         selftest_fused_nuts(interpret),
         selftest_fused_nuts_hier(interpret),
+        selftest_fused_smc_stage(interpret),
     ]
     ok = all(r["ok"] for r in recs)
     _emit("ALL", ok, passed=sum(r["ok"] for r in recs), total=len(recs),

@@ -1,0 +1,170 @@
+"""Fused whole-stage SMC mutation kernel (ops/fused_smc_gmm.py, VERDICT r4
+item 5).  Layered validation in the house style (test_fused_nuts.py):
+
+1. the hand-derived lane-packed potential/gradient/loglik equals
+   build_logjoint's density parts and jax.grad (stick-breaking pullback,
+   priors, constants);
+2. the mutation core is a valid sampler building block: accepts in (0,1],
+   particles move, pad lanes stay fixed;
+3. the Pallas kernel in interpret mode matches the shared core;
+4. SMC with the fused mutation reproduces the default path's
+   log-evidence and predictive quality on the smoke GMM.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesic_tpu.infer.smc import SMC
+from bayesic_tpu.models import gmm
+from bayesic_tpu.ops import fused_smc_gmm as fsg
+
+
+def _setup(num_data=200, k=3, d=2, seed=0):
+    cfg = gmm.Config(num_components=k, data_dim=d, num_data=num_data,
+                     seed=seed)
+    x, truth = gmm.make_data(cfg)
+    model = gmm.make_model(cfg, x)
+    smc = SMC(model, num_particles=64)
+    dim = (k - 1) + k * d + k
+    assert smc.dim == dim
+    return cfg, x, model, smc, dim
+
+
+def _pad_xt(x, bn=512):
+    n, d = x.shape
+    n_pad = ((n + bn - 1) // bn) * bn
+    return jnp.pad(jnp.asarray(x, jnp.float32).T,
+                   ((0, 0), (0, n_pad - n))), n
+
+
+def test_potential_matches_logjoint_parts():
+    cfg, x, model, smc, dim = _setup()
+    xt, n = _pad_xt(x)
+    pg = fsg.make_gmm_potential_flat(xt, n, cfg.num_components,
+                                     cfg.data_dim)
+    rng = np.random.default_rng(0)
+    c = 16
+    q = np.zeros((c, 128), np.float32)
+    q[:, :dim] = rng.normal(0.0, 0.6, (c, dim))
+    qj = jnp.asarray(q)
+    parts = jax.vmap(lambda qq: smc.logdensity.parts(smc._unravel(qq)))
+
+    for beta in (0.0, 0.3, 1.0):
+        pe, grad, ll = pg(qj, jnp.full((1, 1), beta))
+        lp_ref, ll_ref = parts(qj[:, :dim])
+        pe_ref = -(lp_ref + beta * ll_ref)
+        np.testing.assert_allclose(np.asarray(ll)[:, 0], np.asarray(ll_ref),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(pe)[:, 0], np.asarray(pe_ref),
+                                   rtol=2e-4, atol=5e-3)
+
+        def pot(qq):
+            lp, llv = smc.logdensity.parts(smc._unravel(qq))
+            return -(lp + beta * llv)
+
+        g_ref = jax.vmap(jax.grad(pot))(qj[:, :dim])
+        scale = float(np.abs(np.asarray(g_ref)).max()) + 1.0
+        np.testing.assert_allclose(np.asarray(grad)[:, :dim],
+                                   np.asarray(g_ref), atol=2e-2 * scale)
+        # pad-lane gradient is exactly zero (pads are fixed points)
+        assert float(np.abs(np.asarray(grad)[:, dim:]).max()) == 0.0
+
+
+def _core_inputs(smc, dim, c=64, kmut=3, seed=1):
+    rng = np.random.default_rng(seed)
+    q = np.zeros((c, 128), np.float32)
+    q[:, :dim] = rng.normal(0.0, 0.5, (c, dim))
+    mom = np.zeros((kmut, c, 128), np.float32)
+    mom[:, :, :dim] = rng.normal(0.0, 1.0, (kmut, c, dim))
+    log_u = np.log(rng.uniform(1e-6, 1.0, (c, kmut))).astype(np.float32)
+    minv = np.ones((1, 128), np.float32)
+    return (jnp.asarray(q), jnp.asarray(mom), jnp.asarray(log_u),
+            jnp.asarray(minv))
+
+
+def test_mutation_core_moves_and_preserves_pads():
+    cfg, x, model, smc, dim = _setup()
+    xt, n = _pad_xt(x)
+    pg = fsg.make_gmm_potential_flat(xt, n, cfg.num_components,
+                                     cfg.data_dim)
+    q, mom, log_u, minv = _core_inputs(smc, dim, kmut=3)
+    q2, ll2, acc, eps_next = fsg.mutation_core(
+        q, mom, log_u, jnp.full((1, 1), 0.5), jnp.full((1, 1), 0.05),
+        minv, pg, 3, 4, 0.65)
+    assert bool(jnp.any(q2[:, :dim] != q[:, :dim]))
+    # pads never move (zero momentum + zero gradient)
+    np.testing.assert_array_equal(np.asarray(q2[:, dim:]),
+                                  np.asarray(q[:, dim:]))
+    a = np.asarray(acc)
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    assert float(eps_next[0, 0]) > 0.0
+    # returned ll is the loglik of the returned particles
+    _, _, ll_chk = pg(q2, jnp.full((1, 1), 0.5))
+    np.testing.assert_allclose(np.asarray(ll2), np.asarray(ll_chk),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_kernel_interpret_matches_core():
+    cfg, x, model, smc, dim = _setup()
+    xt, n = _pad_xt(x)
+    pg = fsg.make_gmm_potential_flat(xt, n, cfg.num_components,
+                                     cfg.data_dim)
+    kmut = 3
+    c_total = 256                      # 2 blocks of _PB=128
+    q, mom, log_u, minv = _core_inputs(smc, dim, c=c_total, kmut=kmut)
+    beta = jnp.full((1, 1), 0.7)
+    eps = jnp.full((1, 1), 0.05)
+    got = fsg.fused_gmm_mutate(
+        q, mom, log_u, beta, eps, minv, xt, n=n, k=cfg.num_components,
+        d=cfg.data_dim, kmut=kmut, lsteps=4, target_accept=0.65,
+        interpret=True)
+    pb = fsg._PB
+    blocks = []
+    for b in range(c_total // pb):
+        sl = slice(b * pb, (b + 1) * pb)
+        blocks.append(fsg.mutation_core(
+            q[sl], mom[:, sl], log_u[sl], beta, eps, minv, pg, kmut, 4,
+            0.65))
+    want = [jnp.concatenate([blk[i] for blk in blocks])
+            for i in range(4)]
+    # interpret-mode bf16 dot accumulation order differs from the plain
+    # jnp core at the 1e-5 level; accept/eps pass that noise through exp
+    for g_arr, w_arr, tol in zip(got, want, (2e-5, 2e-3, 2e-4, 2e-4)):
+        np.testing.assert_allclose(np.asarray(g_arr), np.asarray(w_arr),
+                                   rtol=1e-3, atol=tol)
+
+
+def test_smc_fused_stage_matches_default_path():
+    """End-to-end: SMC with the whole-stage fused mutation (interpret)
+    must land the same log-evidence and predictive quality as the
+    default XLA mutation on the smoke GMM."""
+    cfg = gmm.Config(num_data=200, num_particles=512, mutation_steps=2,
+                     leapfrog_steps=3, seed=0)
+    x, truth = gmm.make_data(cfg)
+    model = gmm.make_model(cfg, x)
+
+    base = SMC(model, num_particles=cfg.num_particles,
+               mutation_steps=cfg.mutation_steps,
+               hmc_leapfrog_steps=cfg.leapfrog_steps)
+    bm = gmm.make_batched_mutation(cfg, x, interpret=True)
+    fused = SMC(model, num_particles=cfg.num_particles,
+                mutation_steps=cfg.mutation_steps,
+                hmc_leapfrog_steps=cfg.leapfrog_steps,
+                batched_mutation=bm)
+
+    res_b = base.run(jax.random.PRNGKey(0))
+    res_f = fused.run(jax.random.PRNGKey(0))
+    # adaptive tempering: stage counts should agree closely; logZ within
+    # the estimator's own MC spread (measured across seeds the DEFAULT
+    # path alone spans ~17 units on this smoke config: -674..-657)
+    assert abs(int(res_f.num_stages) - int(res_b.num_stages)) <= 4
+    assert abs(float(res_f.log_evidence) - float(res_b.log_evidence)) < 15.0
+    # label-invariant quality: both paths must predict near the true
+    # generating mixture
+    truth_ll = gmm._true_loglik(x, truth)
+    pred_b = gmm.predictive_loglik(res_b, x, cfg)
+    pred_f = gmm.predictive_loglik(res_f, x, cfg)
+    assert abs(pred_f - truth_ll) < 0.25
+    assert abs(pred_f - pred_b) < 0.25
+    assert 0.0 < float(res_f.accept_rate) <= 1.0
