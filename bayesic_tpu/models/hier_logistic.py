@@ -173,13 +173,26 @@ if __name__ == "__main__":
 
 def fused_nuts_mcmc(num_groups, num_features, x, y, group, *, num_warmup,
                     num_samples, num_chains=128, target_accept=0.85,
-                    max_doublings=6, block_chains=128, mm_dtype="float32",
+                    max_doublings=10, block_chains=128, mm_dtype="split",
                     interpret=False):
     """The configs[1] full-batch centered NUTS workload routed through the
     fused Pallas whole-transition kernel (ops/fused_nuts_hier.py): same
     model density, same MCMC driver (pooled adaptation, Welford windows,
     diagnostics) with each transition one VMEM-resident kernel launch.
-    Returns the MCMC object (call ``.run(key)`` / bench it)."""
+    Returns the MCMC object (call ``.run(key)`` / bench it).
+
+    ``max_doublings=10`` matches the XLA path's ``max_depth`` — and is
+    load-bearing, not cosmetic: at the benchmark shape (10k obs, sharp
+    posterior, prior-dispersed init) early warmup needs LONG trajectories
+    (tiny unadapted step x up to 1023 leapfrogs) to reach the typical set
+    before the first Welford window closes; a 63-leaf cap (round-4's 6
+    doublings) moved chains 16x less per transition, the first mass
+    refresh then pooled the still-dispersed cross-chain init spread
+    (mu prior sd 5 -> inv_mass ~25 on a tight posterior dim), and the
+    sampler locked into a tiny-step/capped-tree fixed point (R-hat 36,
+    measured round 5 on TPU; benchmarks/_hier_probe2.py reproduces).
+    After adaptation the trees stop at depth ~3, so the deeper cap costs
+    nothing in steady state."""
     from ..ops.fused_nuts_hier import make_batched_transition_hier
 
     model = make_model(num_groups, num_features, None, centered=True)

@@ -138,22 +138,50 @@ def pack_x(x_batch, latent_dim, block_chains):
 
 def _rowsum_tile(x, ones_128):
     """(M, L) -> (M, 128) tile whose every lane holds the row sum.
-    L must be a multiple of 128."""
+    L must be a multiple of 128.
+
+    The ones-matmul must NOT run at Mosaic's DEFAULT precision: DEFAULT
+    truncates the f32 inputs to bf16, so summing 128 per-lane partials of
+    magnitude ~60 (the hier 10k-obs likelihood) injects ~N(0, 1.3) noise
+    into EVERY potential/kinetic-energy evaluation (measured on TPU,
+    benchmarks/_hier_probe5.py).  That noise caps the MH/multinomial
+    accept statistic at ~0.5-0.85 at ANY step size, and shared dual
+    averaging then chases the unreachable target into an eps -> 0 lockup
+    (the round-5 hier bench failure, R-hat 36).  The fix is a 2-pass
+    hi/lo split: part == part_hi + part_lo EXACTLY in f32, the ones
+    operand is bf16-exact, and bf16 x bf16 products accumulate in f32 on
+    the MXU — so two DEFAULT passes reproduce the f32 row sum up to f32
+    accumulation order (measured dev sd 6e-4), at 1/3 the cost of the
+    6-pass HIGHEST emulation."""
     m, el = x.shape
     part = x[:, 0:128]
     for g in range(1, el // 128):
         part = part + x[:, g * 128:(g + 1) * 128]
-    return lax.dot_general(part, ones_128, (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
+    hi = part.astype(jnp.bfloat16)
+    lo = (part - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ones_bf = ones_128.astype(jnp.bfloat16)
+    dot = functools.partial(lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return dot(hi, ones_bf) + dot(lo, ones_bf)
 
 
 def _col_tile(mat, j, ones_k):
     """(C, K), scalar j -> (C, 128) tile of column j, lane-replicated.
-    ``ones_k`` is a ones matrix of shape (K, 128)."""
+    ``ones_k`` is a ones matrix of shape (K, 128).  Same 2-pass hi/lo
+    split as _rowsum_tile: a DEFAULT dot would truncate the picked value
+    to bf16 — log-uniforms and ±1 signs survive truncation in SIGN (the
+    log-space convention), but exact values keep the kernel bit-faithful
+    to the jnp core."""
     lanes = lax.broadcasted_iota(jnp.int32, mat.shape, 1)
     sel = jnp.where(lanes == j, mat, 0.0)
-    return lax.dot_general(sel, ones_k, (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
+    hi = sel.astype(jnp.bfloat16)
+    lo = (sel - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ones_bf = ones_k.astype(jnp.bfloat16)
+    dot = functools.partial(lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return dot(hi, ones_bf) + dot(lo, ones_bf)
 
 
 def _widen(tile, n_chunks):
@@ -203,9 +231,14 @@ def _make_mms(mm_dtype):
             preferred_element_type=jnp.float32)
         return _dot_3x, grad_mm
     dt = jnp.dtype(mm_dtype)
+    # f32 must mean REAL f32: Mosaic's DEFAULT dot truncates f32 inputs
+    # to bf16 (single pass), which at the hier shape puts O(0.2) noise
+    # on the 10k-term likelihood — on top of the _rowsum_tile issue
+    # (see its docstring).  HIGHEST = 6-pass f32 emulation.
+    prec = lax.Precision.HIGHEST if dt == jnp.float32 else None
     mm = lambda a, b: lax.dot_general(  # noqa: E731
         a.astype(dt), b.astype(dt), _NT,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=prec)
     return mm, mm
 
 
@@ -254,9 +287,12 @@ def make_packed_potential(w1p, w2p, w1pt, w2pt, b1p, b2p, x_rep, sigma,
 # ---------------------------------------------------------------------------
 
 def _popcount8(i):
-    """Popcount of a small (< 256) non-negative int32 scalar."""
+    """Popcount of a small (< 2**12) non-negative int32 scalar.  12 bits
+    covers leaf counters up to max_doublings=11 (the round-5 hier kernel
+    runs 10 doublings to match the XLA path's max_tree_depth; the
+    original 8-bit loop silently truncated at kk >= 9)."""
     out = i & 1
-    for s in range(1, 8):
+    for s in range(1, 12):
         out = out + ((i >> s) & 1)
     return out
 

@@ -30,6 +30,8 @@ def report(tag, res, dt):
 
 
 def main():
+    import sys
+    kk = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     cfg = hl.Config()
     x, y, group, _ = hl.make_data(cfg)
     chains, warm, samp = 128, 500, 300
@@ -45,10 +47,9 @@ def main():
         return hl.fused_nuts_mcmc(
             cfg.num_groups, cfg.num_features, x, y, group,
             num_warmup=warm, num_samples=samp, num_chains=chains,
-            target_accept=0.85)
+            target_accept=0.85, max_doublings=kk)
 
-    for tag, mk in (("fused run", fused), ("fused segmented", fused),
-                    ("xla segmented", xla)):
+    for tag, mk in (("fused run", fused),):
         m = mk()
         t0 = time.perf_counter()
         if "segmented" in tag:

@@ -669,9 +669,11 @@ def run_dlgm():
     if jax.default_backend() == "tpu":
         from bayesic_tpu.models.dlgm import local_posterior_mcmc_fused
 
+        # mm_dtype="split" (VERDICT r4 item 4): 3-pass hi/lo value dots,
+        # single-pass bf16 gradient dots inside the tree
         mcmc3 = local_posterior_mcmc_fused(
             cfg2, out["decoder"], out["decoder_params"], out["sigma_x"],
-            out["x"][:n_rows], block_chains=32)
+            out["x"][:n_rows], block_chains=32, mm_dtype="split")
         recs.append(bench_nuts_ess(
             "dlgm_nuts_fused", mcmc3, jax.random.PRNGKey(2),
             cost_per_leapfrog=roofline.dlgm_nuts_leapfrog(
