@@ -173,7 +173,7 @@ if __name__ == "__main__":
 
 def fused_nuts_mcmc(num_groups, num_features, x, y, group, *, num_warmup,
                     num_samples, num_chains=128, target_accept=0.85,
-                    max_doublings=10, block_chains=128, mm_dtype="split",
+                    max_doublings=6, block_chains=128, mm_dtype="split",
                     interpret=False):
     """The configs[1] full-batch centered NUTS workload routed through the
     fused Pallas whole-transition kernel (ops/fused_nuts_hier.py): same
@@ -181,18 +181,17 @@ def fused_nuts_mcmc(num_groups, num_features, x, y, group, *, num_warmup,
     diagnostics) with each transition one VMEM-resident kernel launch.
     Returns the MCMC object (call ``.run(key)`` / bench it).
 
-    ``max_doublings=10`` matches the XLA path's ``max_depth`` — and is
-    load-bearing, not cosmetic: at the benchmark shape (10k obs, sharp
-    posterior, prior-dispersed init) early warmup needs LONG trajectories
-    (tiny unadapted step x up to 1023 leapfrogs) to reach the typical set
-    before the first Welford window closes; a 63-leaf cap (round-4's 6
-    doublings) moved chains 16x less per transition, the first mass
-    refresh then pooled the still-dispersed cross-chain init spread
-    (mu prior sd 5 -> inv_mass ~25 on a tight posterior dim), and the
-    sampler locked into a tiny-step/capped-tree fixed point (R-hat 36,
-    measured round 5 on TPU; benchmarks/_hier_probe2.py reproduces).
-    After adaptation the trees stop at depth ~3, so the deeper cap costs
-    nothing in steady state."""
+    Round-5 postmortem (benchmarks/_hier_probe2..10.py): the r4 bench
+    failure (R-hat 36, every tree at the leaf cap, eps -> 1e-5) was NOT
+    the doubling cap — it was ~N(0, 1.3) noise on every potential/
+    kinetic-energy evaluation from bf16-truncated ones-matmul row sums
+    (ops/fused_nuts._rowsum_tile docstring).  Noisy energies cap the MH
+    accept statistic below target at ANY step size, and shared dual
+    averaging then drives eps to zero.  With exact reductions, kk=6
+    converges cleanly at the bench shape (R-hat 1.000, min-ESS 37.8k)
+    and runs ~2x faster than kk=10 (early-warmup trees at 1023 leaves
+    are pure cost); kk up to 11 is supported if a harder posterior needs
+    longer trajectories."""
     from ..ops.fused_nuts_hier import make_batched_transition_hier
 
     model = make_model(num_groups, num_features, None, centered=True)

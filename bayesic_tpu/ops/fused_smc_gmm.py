@@ -94,17 +94,18 @@ def make_gmm_potential_flat(xt, n, k, d, bn=_BN):
         uw = q[:, 0:k - 1]                                # (C, K-1)
         us = q[:, off_us:off_us + k]                      # (C, K)
         sig = jnp.exp(us)
-        # stick-breaking offsets log(K-1-j), built in-kernel (a closure
-        # jnp constant would be rejected by pallas_call)
-        sb_off = jnp.log(
-            float(k - 1)
-            - lax.broadcasted_iota(jnp.float32, (1, k - 1), 1))
+        # stick-breaking offsets log(K-1-j), built in-kernel from scalar
+        # constants (a closure jnp constant would be rejected by
+        # pallas_call; Mosaic's iota is integer-only)
+        sb_off = jnp.concatenate(
+            [jnp.full((1, 1), math.log(k - 1 - j), jnp.float32)
+             for j in range(k - 1)], axis=1)
         t = uw - sb_off
         z = jax.nn.sigmoid(t)
         log_z = -jax.nn.softplus(-t)
         log1mz = -jax.nn.softplus(t)
         # log w_k = log z_k + sum_{j<k} log(1-z_j); last = full remainder
-        cums = jnp.cumsum(log1mz, axis=1)                 # (C, K-1)
+        cums = _cumsum_cols(log1mz)                       # (C, K-1)
         logw_cols = [log_z[:, 0:1]]
         for kk in range(1, k - 1):
             logw_cols.append(log_z[:, kk:kk + 1] + cums[:, kk - 1:kk])
@@ -177,7 +178,7 @@ def make_gmm_potential_flat(xt, n, k, d, bn=_BN):
         # ---- gradient pullback to unconstrained space ------------------
         # d ll/d uw_j = dlogw_j (1 - z_j) - z_j * sum_{k>j} dlogw_k
         # d ldj/d uw_j = (1 - 2 z_j) - z_j * (K - 2 - j)
-        tail = jnp.cumsum(dlogw[:, ::-1], axis=1)[:, ::-1]   # sum_{k>=j}
+        tail = _suffix_sum_cols(dlogw)                       # sum_{k>=j}
         guw_cols = []
         for jj in range(k - 1):
             z_j = z[:, jj:jj + 1]
@@ -194,6 +195,25 @@ def make_gmm_potential_flat(xt, n, k, d, bn=_BN):
         return pe, grad, ll
 
     return pg
+
+
+def _cumsum_cols(m):
+    """Unrolled column-wise prefix sum (Mosaic has no cumsum lowering;
+    K is tiny)."""
+    cols = [m[:, 0:1]]
+    for j in range(1, m.shape[1]):
+        cols.append(cols[-1] + m[:, j:j + 1])
+    return jnp.concatenate(cols, axis=1)
+
+
+def _suffix_sum_cols(m):
+    """Unrolled column-wise suffix sum: out[:, j] = sum_{k>=j} m[:, k]."""
+    k = m.shape[1]
+    cols = [None] * k
+    cols[k - 1] = m[:, k - 1:k]
+    for j in range(k - 2, -1, -1):
+        cols[j] = cols[j + 1] + m[:, j:j + 1]
+    return jnp.concatenate(cols, axis=1)
 
 
 def _col_add(arr, kk, col):
@@ -214,10 +234,18 @@ def mutation_core(q, mom_all, log_u, beta, eps0, m_inv, pg, kmut, lsteps,
     smc.py:_mutate tracking configuration).
 
     Shapes: q (C, 128); mom_all (kmut, C, 128) pre-scaled momenta with
-    ZERO pad lanes; log_u (C, kmut) strictly-negative log-uniforms;
-    beta/eps0 (1, 1); m_inv (1, 128).  Returns (q', ll', mean-accept
-    (C, 1), next-step (1, 1))."""
+    ZERO pad lanes — or a callable ``t -> (C, 128)`` (the Pallas kernel
+    passes a Ref indexer: Mosaic has no dynamic_slice lowering on
+    VALUES, but dynamic leading-dim indexing of a Ref is supported);
+    log_u (C, kmut) strictly-negative log-uniforms; beta/eps0 (1, 1);
+    m_inv (1, 128).  Returns (q', ll', mean-accept (C, 1), next-step
+    (1, 1))."""
     c = q.shape[0]
+    if callable(mom_all):
+        mom_fn = mom_all
+    else:
+        mom_fn = lambda t: lax.dynamic_slice(  # noqa: E731
+            mom_all, (t, 0, 0), (1,) + mom_all.shape[1:])[0]
     pe, g, ll = pg(q, beta)
     log_eps0 = jnp.log(eps0)                              # (1, 1) = mu
     zero11 = jnp.zeros_like(log_eps0)
@@ -225,7 +253,7 @@ def mutation_core(q, mom_all, log_u, beta, eps0, m_inv, pg, kmut, lsteps,
     def trans(t, carry):
         q, pe, g, ll, acc_sum, log_step, log_avg, grad_avg, tda = carry
         eps = jnp.exp(log_step)
-        p0 = lax.dynamic_slice(mom_all, (t, 0, 0), (1, c, 128))[0]
+        p0 = mom_fn(t)
         h0 = pe + 0.5 * jnp.sum(p0 * p0 * m_inv, axis=1, keepdims=True)
 
         def leap(_l, s):
@@ -283,12 +311,15 @@ def _kernel(beta_ref, eps_ref, q_ref, mom_ref, lu_ref, minv_ref, xt_ref,
     beta = beta_ref[0, 0] + jnp.zeros((1, 1), jnp.float32)
     eps0 = eps_ref[0, 0] + jnp.zeros((1, 1), jnp.float32)
     q2, ll2, acc, eps_next = mutation_core(
-        q_ref[...], mom_ref[...], lu_ref[...], beta, eps0, minv_ref[...],
-        pg, kmut, lsteps, target_accept)
+        q_ref[...], lambda t: mom_ref[t], lu_ref[...], beta, eps0,
+        minv_ref[...], pg, kmut, lsteps, target_accept)
     qo_ref[...] = q2
     llo_ref[...] = ll2
     acco_ref[...] = acc
-    epso_ref[...] = eps_next
+    # per-block scalar, replicated over the block's rows: Mosaic requires
+    # output block shapes of (8k, 128m) or full-array dims — a (1, 1)
+    # block is rejected, a (PB, 1) block matches the other outputs
+    epso_ref[...] = jnp.broadcast_to(eps_next, acc.shape)
 
 
 @functools.partial(
@@ -329,13 +360,15 @@ def fused_gmm_mutate(q128, mom, log_u, beta, step_size, m_inv, xt, *, n, k,
             pl.BlockSpec((_PB, 128), lambda i: (i, 0), memory_space=vm),
             pl.BlockSpec((_PB, 1), lambda i: (i, 0), memory_space=vm),
             pl.BlockSpec((_PB, 1), lambda i: (i, 0), memory_space=vm),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((_PB, 1), lambda i: (i, 0), memory_space=vm),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((p, 128), jnp.float32),
             jax.ShapeDtypeStruct((p, 1), jnp.float32),
             jax.ShapeDtypeStruct((p, 1), jnp.float32),
-            jax.ShapeDtypeStruct((p // _PB, 1), jnp.float32),
+            # per-block eps, replicated over each block's rows (Mosaic
+            # rejects (1, 1) output blocks — see _kernel)
+            jax.ShapeDtypeStruct((p, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

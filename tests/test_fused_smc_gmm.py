@@ -128,6 +128,13 @@ def test_kernel_interpret_matches_core():
             0.65))
     want = [jnp.concatenate([blk[i] for blk in blocks])
             for i in range(4)]
+    # the kernel's eps output is per-block but replicated over each
+    # block's rows (Mosaic rejects (1, 1) output blocks): rows within a
+    # block must agree, and the block representative must match the core
+    eps_full = np.asarray(got[3])
+    pb_rows = eps_full.reshape(c_total // pb, pb, 1)
+    assert np.all(pb_rows == pb_rows[:, :1])
+    got = (got[0], got[1], got[2], jnp.asarray(pb_rows[:, 0]))
     # interpret-mode bf16 dot accumulation order differs from the plain
     # jnp core at the 1e-5 level; accept/eps pass that noise through exp
     for g_arr, w_arr, tol in zip(got, want, (2e-5, 2e-3, 2e-4, 2e-4)):
