@@ -164,7 +164,8 @@ def test_wait_for_tpu_respects_budget(bench, monkeypatch):
 
 def test_main_resumes_and_skips_done(bench, monkeypatch, capsys):
     """main() must not re-run workloads already checkpointed."""
-    bench.save_partial({n: [_rec(n, 5.0)] for n in bench.WORKLOADS[:-1]})
+    bench.save_partial({n: [_rec(n, 5.0)] for n in bench.WORKLOADS
+                        if n != "dlgm"})
     monkeypatch.setattr(bench, "wait_for_tpu", lambda *a, **k: True)
     ran = []
 
@@ -266,7 +267,9 @@ def test_kill_mid_sweep_last_line_parses(tmp_path, sig):
         all_lines = lines + rest.strip().splitlines()
         last = json.loads(all_lines[-1])
         assert last["status"] == "partial"
-        assert last["value"] == 0.0          # headline is dlgm; only linreg ran
+        # dlgm runs FIRST precisely so a killed sweep still carries the
+        # headline value
+        assert last["value"] == 11.0
         assert "signal" in last["error"]
         assert len(all_lines[-1]) <= 500
         # every line emitted was parseable
