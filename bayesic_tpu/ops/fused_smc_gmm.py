@@ -131,7 +131,14 @@ def make_gmm_potential_flat(xt, n, k, d, bn=_BN):
             lls, qs = [], []
             for kk in range(k):
                 mu_k = q[:, off_mu + kk * d:off_mu + (kk + 1) * d]
-                cross = _dot_3x(mu_k, xb, (((1,), (0,)), ((), ())))
+                # at d ~ 2 the contraction is degenerate: d broadcast
+                # multiply-adds on the VPU are EXACT f32 and ~25x faster
+                # than 3-pass MXU dots (measured: the dot version made
+                # the mutation kernel 1.08 ms/eval vs the 0.47 ms
+                # standalone kernel)
+                cross = mu_k[:, 0:1] * xb[0:1, :]
+                for j in range(1, d):
+                    cross = cross + mu_k[:, j:j + 1] * xb[j:j + 1, :]
                 mu2 = jnp.sum(mu_k * mu_k, axis=1, keepdims=True)
                 q_k = x2 - 2.0 * cross + mu2              # (C, bn)
                 s_k = sig[:, kk:kk + 1]
@@ -140,23 +147,28 @@ def make_gmm_potential_flat(xt, n, k, d, bn=_BN):
                         - d * us[:, kk:kk + 1] - 0.5 * d * _LOG_2PI)
                 lls.append(ll_k)
                 qs.append(q_k)
+            # max-first logsumexp: K exps + 1 log + 1 reciprocal total,
+            # and the SAME exps are reused for the responsibilities —
+            # the streaming form cost ~3K-2 exps per chunk and the
+            # kernel is VPU-transcendental-bound
             m = lls[0]
-            s = jnp.ones_like(m)
             for ll_k in lls[1:]:
-                new_m = jnp.maximum(m, ll_k)
-                s = s * jnp.exp(m - new_m) + jnp.exp(ll_k - new_m)
-                m = new_m
+                m = jnp.maximum(m, ll_k)
+            es = [jnp.exp(ll_k - m) for ll_k in lls]
+            s = es[0]
+            for e_k in es[1:]:
+                s = s + e_k
             lse = m + jnp.log(s)
+            inv_s = 1.0 / s
             ll = ll + jnp.sum(jnp.where(mask, lse, 0.0), axis=1,
                               keepdims=True)
             for kk in range(k):
-                resp = jnp.where(mask, jnp.exp(lls[kk] - lse), 0.0)
+                resp = jnp.where(mask, es[kk] * inv_s, 0.0)
                 r_sum = jnp.sum(resp, axis=1, keepdims=True)
                 rq_sum = jnp.sum(resp * qs[kk], axis=1, keepdims=True)
-                rx = lax.dot_general(
-                    resp.astype(jnp.bfloat16), xb.astype(jnp.bfloat16),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # (C, d)
+                rx = jnp.concatenate(
+                    [jnp.sum(resp * xb[j:j + 1, :], axis=1, keepdims=True)
+                     for j in range(d)], axis=1)          # (C, d), exact
                 mu_k = q[:, off_mu + kk * d:off_mu + (kk + 1) * d]
                 i2 = inv_s2[:, kk:kk + 1]
                 dlogw = _col_add(dlogw, kk, r_sum)

@@ -160,13 +160,17 @@ def test_smc_fused_stage_matches_default_path():
                 hmc_leapfrog_steps=cfg.leapfrog_steps,
                 batched_mutation=bm)
 
-    res_b = base.run(jax.random.PRNGKey(0))
-    res_f = fused.run(jax.random.PRNGKey(0))
-    # adaptive tempering: stage counts should agree closely; logZ within
-    # the estimator's own MC spread (measured across seeds the DEFAULT
-    # path alone spans ~17 units on this smoke config: -674..-657)
+    # single-seed logZ at 512 particles carries ~±10 MC noise (the
+    # DEFAULT path alone spans ~17 units across seeds on this config),
+    # so compare SEED-AVERAGED log-evidence
+    seeds = (0, 1, 2)
+    res_bs = [base.run(jax.random.PRNGKey(s)) for s in seeds]
+    res_fs = [fused.run(jax.random.PRNGKey(s)) for s in seeds]
+    res_b, res_f = res_bs[0], res_fs[0]
+    lz_b = np.mean([float(r.log_evidence) for r in res_bs])
+    lz_f = np.mean([float(r.log_evidence) for r in res_fs])
     assert abs(int(res_f.num_stages) - int(res_b.num_stages)) <= 4
-    assert abs(float(res_f.log_evidence) - float(res_b.log_evidence)) < 15.0
+    assert abs(lz_f - lz_b) < 12.0, (lz_f, lz_b)
     # label-invariant quality: both paths must predict near the true
     # generating mixture
     truth_ll = gmm._true_loglik(x, truth)
