@@ -62,7 +62,11 @@ WORKLOADS = ("dlgm", "linreg", "hier_logistic", "matrix_fact", "gmm")
 
 PARTIAL_PATH = os.path.join(HERE, "benchmarks", ".bench_partial.json")
 FULL_PATH = os.path.join(HERE, "benchmarks", "bench_full.json")
-PARTIAL_TTL_S = 12 * 3600      # a resume older than this is a new round
+PARTIAL_TTL_S = 24 * 3600      # a resume older than this is a new round
+                               # (24 h: the official driver capture may run
+                               # up to a round boundary after the builder's
+                               # sweep; the records are same-round, same
+                               # hardware, same protocol)
 PROBE_TIMEOUT_S = 240          # one jax.devices() attempt
 PROBE_INTERVAL_S = 120         # sleep between failed probes
 PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_BUDGET_S", "600"))
