@@ -122,19 +122,27 @@ def pack_x(x_batch, latent_dim, block_chains):
 
 
 # ---------------------------------------------------------------------------
-# scalar-tile convention
+# per-chain scalar convention (round 5: (C, 1) vectors, with layout rules)
 # ---------------------------------------------------------------------------
-# Mosaic (jax 0.9 / v5e) cannot relayout or lane-broadcast concrete-layout
-# (C, 1) vectors ("Not implemented: Lane broadcast"), so NO per-chain scalar
-# in this module is ever materialized as (C, 1) inside the kernel.  Every
-# per-chain scalar is a (C, 128) TILE with the value replicated across all
-# 128 lanes BY CONSTRUCTION:
-#   * row-reductions go through a ones-matrix matmul (out = partial @ 1s),
-#     whose every output lane is the row total;
-#   * column picks from (C, K) uniforms go through a masked (C,K) @ (K,128)
-#     ones-matmul;
-#   * widening a tile to (C, D) is a lane-concatenation of D/128 copies.
-# All three are plain MXU/VPU ops with ordinary layouts.
+# Per-chain scalars are (C, 1) VECTORS: reductions via jnp.sum(axis=1,
+# keepdims=True), column picks via masked reductions, and (C, 1) -> (C, D)
+# via ordinary broadcasting — all VPU ops.  (Rounds 1-4 used (C, 128)
+# "scalar tiles" fed by ones-matmuls because (C, 1) lane broadcast was
+# thought unsupported; those small MXU calls measured ~17 of the ~21 us
+# per-leaf wall, and the ones-matmuls themselves truncated to bf16 at
+# DEFAULT precision — the round-5 hier lockup.)
+# Mosaic (C, 1) LAYOUT RULES, established by bisection (_hier_probe*,
+# /tmp lane-broadcast probes, 2026-08-20):
+#   * (C, 1)s DERIVED FROM REDUCTIONS mix freely in arithmetic, loop
+#     carries, nested while_loops, and broadcasts against (C, D);
+#   * a (C, 1) from a LANE SLICE (q[:, 0:1]) or a VMEM BLOCK LOAD carries
+#     an offset layout that CANNOT mix with reduction-derived (C, 1)s
+#     ("Not implemented: Lane broadcast") — canonicalize through a masked
+#     reduction (or recompute instead of loading);
+#   * a (C, 1) CONSTANT (jnp.zeros) gets a replicated layout that a
+#     while_loop carry cannot reconcile with reduction outputs ("Invalid
+#     relayout") — derive zeros from a reduction (jnp.sum(q * 0, ...)).
+# The legacy tile helpers below are kept for reference/compat.
 
 def _rowsum_tile(x, ones_128):
     """(M, L) -> (M, 128) tile whose every lane holds the row sum.
@@ -248,9 +256,12 @@ def make_packed_potential(w1p, w2p, w1pt, w2pt, b1p, b2p, x_rep, sigma,
     """pe(q) and grad(q) for the packed decoder; q is (C, D) with
     D = n_groups*128.  Matches models/dlgm.local_posterior_mcmc's model
     log-density exactly (incl. normalization constants) — asserted in
-    tests/test_fused_nuts.py.  pe comes back as a (C, 128) scalar tile
-    (see the scalar-tile convention above).  mm_dtype="split" selects
-    the value/gradient precision split (_make_mms)."""
+    tests/test_fused_nuts.py.  pe comes back as a (C, 1) per-chain
+    vector (round-5 convention: lane reductions via jnp.sum and (C, 1)
+    broadcasts are VPU ops; the old ones-matmul scalar tiles cost one
+    MXU call each and dominated the per-leaf wall — ~17 of 21 µs).
+    mm_dtype="split" selects the value/gradient precision split
+    (_make_mms)."""
     inv_s2 = 1.0 / float(sigma * sigma)
     const = (0.5 * _LOG_2PI * (nb * latent_dim + nb * data_dim)
              + nb * data_dim * float(np.log(sigma)))
@@ -258,7 +269,6 @@ def make_packed_potential(w1p, w2p, w1pt, w2pt, b1p, b2p, x_rep, sigma,
     val_mm, grad_mm = _make_mms(mm_dtype)
 
     def pg(q):
-        ones_128 = jnp.ones((128, 128), jnp.float32)
         # (C, D) -> (G*C, 128) by lane-slice + sublane-concat (g, c) order
         z4 = jnp.concatenate(
             [q[:, g * 128:(g + 1) * 128] for g in range(n_groups)], 0)
@@ -266,12 +276,18 @@ def make_packed_potential(w1p, w2p, w1pt, w2pt, b1p, b2p, x_rep, sigma,
         a = jnp.tanh(h)
         mu = val_mm(a, w2p) + b2p
         res = mu - x_rep
-        sq = _rowsum_tile(res * res, ones_128)             # (G*C, 128)
+        sq = jnp.sum(res * res, axis=1, keepdims=True)     # (G*C, 1)
         sq_c = sq[0:c]
         for g in range(1, n_groups):
-            sq_c = sq_c + sq[g * c:(g + 1) * c]            # (C, 128)
-        pe = (0.5 * _rowsum_tile(q * q, ones_128)
+            sq_c = sq_c + sq[g * c:(g + 1) * c]            # (C, 1)
+        pe = (0.5 * jnp.sum(q * q, axis=1, keepdims=True)
               + (0.5 * inv_s2) * sq_c + const)
+        # canonicalize to the reduction layout: the sublane-sliced sq_c
+        # parts leave pe with a layout Mosaic cannot mix with other
+        # (C, 1) reductions inside the transition loops (round-5 bisect,
+        # "Not implemented: Lane broadcast"); the single-lane re-reduce
+        # is numerically a no-op
+        pe = jnp.sum(pe, axis=1, keepdims=True)
         dmu = res * inv_s2
         da = grad_mm(dmu, w2pt) * (1.0 - a * a)
         dz4 = grad_mm(da, w1pt)                            # (G*C, 128)
@@ -303,42 +319,73 @@ def _popcount8(i):
 
 def _nuts_transition_core(q, pe, grad, mom, sign_dir, log_u_acc,
                           log_u_leaf, eps, inv_mass, pg, max_doublings,
-                          divergence_threshold=1000.0):
+                          divergence_threshold=1000.0, turn_mask=None):
     """One multinomial-NUTS transition for a block of C chains, lockstep
     with per-chain masks.  Mirrors infer/mcmc/nuts.py's iterative tree +
     checkpoint U-turn scheme (same slot addressing, same merge rule).
 
-    Shapes: q/grad/mom (C, D); pe (C, 128) scalar tile; sign_dir (C, K)
-    of ±1 doubling directions; log_u_acc (C, K) and log_u_leaf
+    Shapes: q/grad/mom (C, D); pe (C, 1) per-chain potential — a wider
+    (C, W) input is accepted and sliced to its first lane; sign_dir
+    (C, K) of ±1 doubling directions; log_u_acc (C, K) and log_u_leaf
     (C, 2**K) log-uniforms (strictly negative — see the module
     docstring on why randomness enters in log space); eps scalar;
     inv_mass (1, D).  Returns (q', pe', grad', accept_stat, diverging,
-    depth, num_steps, h0) with per-chain scalars as (C, 128) tiles
+    depth, num_steps, h0) with per-chain scalars as (C, 1) vectors
     (f32; diverging as 0/1, depth and num_steps as counts).
+
+    Round-5 note: per-chain scalars are (C, 1) VECTORS internally.  The
+    original scalar-tile convention routed every reduction and column
+    pick through a ones-MATMUL because early Mosaic could not
+    lane-broadcast (C, 1) values; current Mosaic handles (C, 1)
+    broadcasts (the gmm mutation kernel relies on them), and the tile
+    convention's many small MXU calls measured ~17 of the ~21 µs
+    per-leaf wall.  The potential ``pg`` likewise returns pe as (C, 1).
     """
     kk = max_doublings
     cdim, d_ = q.shape
-    n_chunks = d_ // 128
     f32 = q.dtype
-    ones_128 = jnp.ones((128, 128), f32)
-    ones_k = jnp.ones((kk, 128), f32)
-    ones_leaf = jnp.ones((1 << kk, 128), f32)
+    # canonicalize pe to the REDUCTION layout: a lane-slice or block-load
+    # (C, 1) carries an offset layout that Mosaic cannot mix with
+    # reduction-derived (C, 1)s ("Not implemented: Lane broadcast" at the
+    # first add); reducing over the single lane is a no-op numerically
+    # but pins the layout (measured bisect: benchmarks round 5)
+    pe = jnp.sum(pe[:, 0:1], axis=1, keepdims=True)
 
     def rsum(x):
-        return _rowsum_tile(x, ones_128)
+        return jnp.sum(x, axis=1, keepdims=True)           # (C, 1)
 
-    def sel(mask_tile, a, b):
-        """Select on (C, D) data arrays by a (C, 128) 0/1 mask tile."""
-        return jnp.where(_widen(mask_tile, n_chunks) > 0.5, a, b)
+    def _col1(mat, j):
+        lanes = lax.broadcasted_iota(jnp.int32, mat.shape, 1)
+        return jnp.sum(jnp.where(lanes == j, mat, 0.0), axis=1,
+                       keepdims=True)                      # (C, 1)
+
+    def sel(mask, a, b):
+        """Select on (C, D) data arrays by a (C, 1) 0/1 mask."""
+        return jnp.where(mask > 0.5, a, b)
 
     p0 = mom * lax.rsqrt(inv_mass)
     h0 = pe + 0.5 * rsum(p0 * p0 * inv_mass)
-    zero_t = rsum(q * 0.0)                      # (C, 128) concrete zeros
+    # derive the zero CONCRETELY from a reduction: a jnp.zeros constant
+    # gets a replicated vector layout in Mosaic, and the while_loop carry
+    # then demands an unsupported concrete->replicated relayout of the
+    # body's reduction outputs ("Invalid relayout ... replicated in
+    # destination but not in source")
+    zero_t = jnp.sum(q * 0.0, axis=1, keepdims=True)       # (C, 1)
     one_t = zero_t + 1.0
     neg_inf_t = zero_t - jnp.inf
 
     def is_turning(q_l, v_l, q_r, v_r, sign_w):
+        # turn_mask (1, D) restricts the U-turn statistic to REAL
+        # dimensions: auxiliary pad lanes (fresh N(0, 1) each transition,
+        # hier kernel) otherwise dominate dq.v and stretch trajectories
+        # far past the real dims' turning point (measured round 5:
+        # ess/draw 0.96 with pads in the statistic vs 1.52 on the XLA
+        # path; mean tree steps 10.2 vs 7).  Any deterministic,
+        # reversal-symmetric termination rule keeps NUTS valid — masking
+        # is such a rule.
         dq = (q_r - q_l) * sign_w
+        if turn_mask is not None:
+            dq = dq * turn_mask
         return jnp.minimum(rsum(dq * v_l), rsum(dq * v_r)) < 0.0
 
     # all per-chain flags are 0/1 f32 tiles; AND = *, OR = maximum,
@@ -375,10 +422,9 @@ def _nuts_transition_core(q, pe, grad, mom, sign_dir, log_u_acc,
         (dstep, left, right, prop, log_w, sum_acc, n_leaves, n_steps,
          turning, diverging, depth) = carry
         traj_active = f_and(f_not(turning), f_not(diverging))
-        # sign_dir carries exact ±1 values: lane replication through the
-        # ones-matmul cannot perturb them at any matmul precision
-        go_right = b2f(_col_tile(sign_dir, dstep, ones_k) > 0.0)
-        sign_w = _widen(2.0 * go_right - 1.0, n_chunks)         # (C, D)
+        # sign_dir carries exact ±1 values
+        go_right = b2f(_col1(sign_dir, dstep) > 0.0)
+        sign_w = 2.0 * go_right - 1.0                           # (C, 1)
         eps_w = sign_w * eps
 
         edge = tuple(sel(go_right, r, l) for r, l in zip(right, left))
@@ -430,7 +476,7 @@ def _nuts_transition_core(q, pe, grad, mom, sign_dir, log_u_acc,
             # but a reduced-precision lane replication or a diverged
             # first leaf (rhs = -inf - -inf = NaN) must not skip it.
             fresh = b2f(s_logw < -1e37)
-            log_u = _col_tile(log_u_leaf, leaf_base + i, ones_leaf)
+            log_u = _col1(log_u_leaf, leaf_base + i)
             take = f_and(m, f_or(fresh,
                                  b2f(log_u < leaf_logw - new_logw)))
             p_q = sel(take, q_new, sprop[0])
@@ -486,7 +532,7 @@ def _nuts_transition_core(q, pe, grad, mom, sign_dir, log_u_acc,
         # log-uniforms survive lane replication sign-intact)
         log_acc = jnp.minimum(zero_t, s_logw - log_w)
         take2 = f_and(ok, b2f(
-            _col_tile(log_u_acc, dstep, ones_k) < log_acc))
+            _col1(log_u_acc, dstep) < log_acc))
         prop2 = (sel(take2, s_prop[0], prop[0]),
                  jnp.where(take2 > 0.5, s_prop[1], prop[1]),
                  sel(take2, s_prop[2], prop[2]))
@@ -530,13 +576,26 @@ def _kernel(eps_ref, q_ref, pe_ref, g_ref, mom_ref, sdir_ref, luacc_ref,
             qo_ref, peo_ref, go_ref, acc_ref, div_ref, depth_ref,
             steps_ref, h0_ref, *, sigma, n_groups, block_chains, nb,
             latent_dim, data_dim, max_doublings, mm_dtype,
-            divergence_threshold):
+            divergence_threshold, recompute_pe):
     pg = make_packed_potential(
         w1_ref[...], w2_ref[...], w1t_ref[...], w2t_ref[...],
         b1_ref[...], b2_ref[...], x_ref[...], sigma, n_groups,
         block_chains, nb, latent_dim, data_dim, mm_dtype=mm_dtype)
+    # Mosaic mode recomputes pe/grad at the incoming point instead of
+    # loading them: a (C, 1) VMEM block load carries a layout Mosaic
+    # cannot mix with the core's reduction-derived (C, 1) scalars ("Not
+    # implemented: Lane broadcast" — round-5 bisect); one extra potential
+    # evaluation per transition amortizes over the tree's 2^K leaves,
+    # mirroring the hier kernel.  Interpret mode keeps the passed pe/grad
+    # (numerically the same pg(q)) so the interpret-vs-core parity test
+    # stays bit-exact.
+    q0 = q_ref[...]
+    if recompute_pe:
+        pe0, g0 = pg(q0)
+    else:
+        pe0, g0 = pe_ref[...], g_ref[...]
     (q2, pe2, g2, acc, div, depth, nsteps, h0) = _nuts_transition_core(
-        q_ref[...], pe_ref[...], g_ref[...], mom_ref[...], sdir_ref[...],
+        q0, pe0, g0, mom_ref[...], sdir_ref[...],
         luacc_ref[...], luleaf_ref[...], eps_ref[0, 0], invm_ref[...], pg,
         max_doublings, divergence_threshold)
     qo_ref[...] = q2
@@ -562,10 +621,10 @@ def fused_nuts_transition(q, pe, grad, mom, sign_dir, log_u_acc,
                           divergence_threshold=1000.0, interpret=False):
     """One fused NUTS transition over all chains; grid over chain blocks.
 
-    q/grad/mom: (N, D); pe: (N, 128) scalar tile; sign_dir: (N, K) of
-    ±1; log_u_acc: (N, K) and log_u_leaf: (N, 2**K) strictly-negative
-    log-uniforms; eps: (1, 1) traced; inv_mass: (1, D).  Per-chain
-    outputs come back as (N, 128) scalar tiles (slice lane 0 outside).
+    q/grad/mom: (N, D); pe: (N, 1) per-chain potential; sign_dir:
+    (N, K) of ±1; log_u_acc: (N, K) and log_u_leaf: (N, 2**K)
+    strictly-negative log-uniforms; eps: (1, 1) traced; inv_mass:
+    (1, D).  Per-chain outputs come back as (N, 1) vectors.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -579,14 +638,15 @@ def fused_nuts_transition(q, pe, grad, mom, sign_dir, log_u_acc,
     kernel = functools.partial(
         _kernel, sigma=sigma, n_groups=n_groups, block_chains=c, nb=nb,
         latent_dim=latent_dim, data_dim=data_dim, max_doublings=kk,
-        mm_dtype=mmd, divergence_threshold=divergence_threshold)
+        mm_dtype=mmd, divergence_threshold=divergence_threshold,
+        recompute_pe=not interpret)
 
     vm = pltpu.VMEM
     blk = lambda w: pl.BlockSpec((c, w), lambda i: (i, 0),  # noqa: E731
                                  memory_space=vm)
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,  # noqa: E731,E501
                                    memory_space=vm)
-    tile = jax.ShapeDtypeStruct((n, 128), jnp.float32)
+    tile = jax.ShapeDtypeStruct((n, 1), jnp.float32)
 
     outs = pl.pallas_call(
         kernel,
@@ -594,13 +654,13 @@ def fused_nuts_transition(q, pe, grad, mom, sign_dir, log_u_acc,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            blk(d_), blk(128), blk(d_), blk(d_),
+            blk(d_), blk(1), blk(d_), blk(d_),
             blk(kk), blk(kk), blk(1 << kk),
             const(inv_mass), const(w1p), const(w2p), const(w1pt),
             const(w2pt), const(b1p), const(b2p), const(x_rep),
         ],
-        out_specs=(blk(d_), blk(128), blk(d_), blk(128), blk(128),
-                   blk(128), blk(128), blk(128)),
+        out_specs=(blk(d_), blk(1), blk(d_), blk(1), blk(1),
+                   blk(1), blk(1), blk(1)),
         out_shape=(jax.ShapeDtypeStruct((n, d_), jnp.float32), tile,
                    jax.ShapeDtypeStruct((n, d_), jnp.float32), tile, tile,
                    tile, tile, tile),
@@ -654,7 +714,7 @@ def make_batched_transition(dec_params, sigma_x, x_batch, *, latent_dim,
             jax.random.uniform(k_a, (n, kk), jnp.float32), 1e-38))
         log_u_leaf = jnp.log(jnp.maximum(
             jax.random.uniform(k_l, (n, 1 << kk), jnp.float32), 1e-38))
-        pe_tile = jnp.broadcast_to(states.pe.reshape(n, 1), (n, 128))
+        pe_tile = states.pe.reshape(n, 1)
         q2, pe2, g2, acc, div, depth, nsteps, h0 = fused_nuts_transition(
             states.q, pe_tile, states.grad, mom, sign_dir, log_u_acc,
             log_u_leaf,

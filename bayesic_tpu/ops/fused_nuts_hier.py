@@ -22,9 +22,13 @@ latents, REDRAWN from N(0, 1) at every transition by the wrapper: the
 redraw is an exact Gibbs move on the extended target
 pi(q_real) x N(pad; 0, I), the NUTS transition leaves that extended
 target invariant, and the returned state keeps only the real lanes — so
-the marginal law of the real dims is exactly the model posterior.  (Pads
-join the U-turn statistic and the multinomial weights like any other
-dimension; they change trajectory *quality* only.)
+the marginal law of the real dims is exactly the model posterior.  Pads
+join the leapfrog dynamics and multinomial weights like any other
+dimension, but are MASKED OUT of the U-turn statistic (round 5: with
+pads in the statistic the fresh auxiliary momenta dominated dq.v and
+stretched trajectories ~1.5x past the real dims' turning point —
+ess/draw 0.96 vs the XLA path's 1.52; any deterministic
+reversal-symmetric termination rule is valid).
 
 The likelihood rides one design matrix: A[n, 2+g(n)] = 1 and
 A[n, 2+J+k] = x[n, k], so per-chain logits for ALL observations are a
@@ -95,15 +99,17 @@ def make_hier_potential(a, a_t, y_row, w_row, num_groups, num_features,
     build_logjoint's unconstrained density of models/hier_logistic
     .make_model(centered=True) EXACTLY (constants included) on the real
     lanes, plus 0.5*||pad||^2 for the pad lanes — asserted in
-    tests/test_fused_nuts_hier.py.  pe returns as a (C, 128) scalar tile
-    (every lane the value), grad as (C, 128)."""
+    tests/test_fused_nuts_hier.py.  pe returns as a (C, 1) per-chain
+    vector, grad as (C, 128)."""
     from .fused_nuts import _make_mms
 
     jj = int(num_groups)
     ff = int(num_features)
     dim = 2 + jj + ff
     # mm_dtype="split": f32-accurate value dots (3-pass hi/lo bf16),
-    # single-pass bf16 gradient dots — see ops.fused_nuts._make_mms
+    # single-pass bf16 gradient dots — see ops.fused_nuts._make_mms.
+    # Per-chain scalars are (C, 1) vectors (round-5 convention — lane
+    # slices and jnp.sum replace the old ones-matmul scalar tiles).
     val_mm, grad_mm = _make_mms(mm_dtype)
     # unconstrained density constants: mu ~ N(0, 5): log 5 + 0.5 log 2pi;
     # tau ~ HalfNormal(2) with exp transform: potential constant
@@ -116,8 +122,6 @@ def make_hier_potential(a, a_t, y_row, w_row, num_groups, num_features,
 
     def pg(q):
         c = q.shape[0]
-        f32 = q.dtype
-        ones_128 = jnp.ones((128, 128), f32)
         lanes = lax.broadcasted_iota(jnp.int32, (c, 128), 1)
         m_theta = jnp.where(
             jnp.logical_and(lanes >= 2, lanes < 2 + jj), 1.0, 0.0)
@@ -127,25 +131,28 @@ def make_hier_potential(a, a_t, y_row, w_row, num_groups, num_features,
         m_mu = jnp.where(lanes == 0, 1.0, 0.0)
         m_u = jnp.where(lanes == 1, 1.0, 0.0)
 
-        mu_t = _col_tile(q, 0, ones_128)
-        u_t = _col_tile(q, 1, ones_128)
+        # masked reductions, NOT lane slices: a sliced (C, 1) carries an
+        # offset layout that cannot mix with reduction-derived (C, 1)s in
+        # Mosaic ("Not implemented: Lane broadcast" — round-5 bisect)
+        mu_t = jnp.sum(m_mu * q, axis=1, keepdims=True)   # (C, 1)
+        u_t = jnp.sum(m_u * q, axis=1, keepdims=True)
         tau2 = jnp.exp(2.0 * u_t)
         inv_t2 = jnp.exp(-2.0 * u_t)
         dtheta = m_theta * (q - mu_t)
-        s1 = _rowsum_tile(dtheta, ones_128)
-        s2 = _rowsum_tile(dtheta * dtheta, ones_128)
+        s1 = jnp.sum(dtheta, axis=1, keepdims=True)
+        s2 = jnp.sum(dtheta * dtheta, axis=1, keepdims=True)
 
         logits = val_mm(q, a_t)                           # (C, Npad)
         # stable softplus: max(l, 0) + log1p(exp(-|l|))
         sp = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
         terms = w_row * (sp - y_row * logits)
-        lik = _rowsum_tile(terms, ones_128)
+        lik = jnp.sum(terms, axis=1, keepdims=True)
 
         pe = (0.5 * (mu_t * mu_t) / 25.0
               + 0.125 * tau2 + (jj - 1.0) * u_t
               + 0.5 * s2 * inv_t2
-              + 0.5 * _rowsum_tile(m_beta * q * q, ones_128)
-              + 0.5 * _rowsum_tile(m_pad * q * q, ones_128)
+              + 0.5 * jnp.sum((m_beta + m_pad) * q * q, axis=1,
+                              keepdims=True)
               + lik + const)
 
         sig = jax.nn.sigmoid(logits)
@@ -174,11 +181,16 @@ def _kernel(eps_ref, q_ref, mom_ref, sdir_ref, luacc_ref, luleaf_ref,
                              w_ref[...], num_groups, num_features,
                              mm_dtype=mm_dtype)
     q = q_ref[...]
+    dim = 2 + num_groups + num_features
+    # real-dims-only U-turn statistic (see _nuts_transition_core)
+    turn_mask = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (1, q.shape[1]), 1) < dim,
+        1.0, 0.0)
     pe0, g0 = pg(q)          # pads were redrawn outside: state is stale
     (q2, pe2, g2, acc, div, depth, nsteps, h0) = _nuts_transition_core(
         q, pe0, g0, mom_ref[...], sdir_ref[...], luacc_ref[...],
         luleaf_ref[...], eps_ref[0, 0], invm_ref[...], pg,
-        max_doublings, divergence_threshold)
+        max_doublings, divergence_threshold, turn_mask=turn_mask)
     qo_ref[...] = q2
     peo_ref[...] = pe2
     go_ref[...] = g2
@@ -224,7 +236,7 @@ def fused_hier_nuts_transition(q, mom, sign_dir, log_u_acc, log_u_leaf,
                                  memory_space=vm)
     const = lambda ar: pl.BlockSpec(ar.shape, lambda i: (0,) * ar.ndim,  # noqa: E731,E501
                                     memory_space=vm)
-    tile = jax.ShapeDtypeStruct((n, 128), jnp.float32)
+    tile = jax.ShapeDtypeStruct((n, 1), jnp.float32)
 
     outs = pl.pallas_call(
         kernel,
@@ -235,8 +247,8 @@ def fused_hier_nuts_transition(q, mom, sign_dir, log_u_acc, log_u_leaf,
             const(inv_mass), const(a), const(a_t), const(y_row),
             const(w_row),
         ],
-        out_specs=(blk(d_), blk(128), blk(d_), blk(128), blk(128),
-                   blk(128), blk(128), blk(128)),
+        out_specs=(blk(d_), blk(1), blk(d_), blk(1), blk(1),
+                   blk(1), blk(1), blk(1)),
         out_shape=(jax.ShapeDtypeStruct((n, d_), jnp.float32), tile,
                    jax.ShapeDtypeStruct((n, d_), jnp.float32), tile, tile,
                    tile, tile, tile),

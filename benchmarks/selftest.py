@@ -278,17 +278,21 @@ def selftest_fused_smc_stage(interpret):
                 mutation_steps=cfg.mutation_steps,
                 hmc_leapfrog_steps=cfg.leapfrog_steps,
                 batched_mutation=bm)
-    res_b = base.run(jax.random.PRNGKey(0))
-    res_f = fused.run(jax.random.PRNGKey(0))
-    logz_gap = abs(float(res_f.log_evidence) - float(res_b.log_evidence))
+    # single-seed logZ carries ~+-8 MC noise even at 1024 particles (a
+    # round-5 gate run measured gap 15.9 on one seed, 11.1 on another,
+    # with predictive gaps ~1e-3): compare SEED-AVERAGED log-evidence
+    seeds = (0, 1, 2)
+    res_bs = [base.run(jax.random.PRNGKey(s)) for s in seeds]
+    res_fs = [fused.run(jax.random.PRNGKey(s)) for s in seeds]
+    res_b, res_f = res_bs[0], res_fs[0]
+    lz_b = float(np.mean([float(r.log_evidence) for r in res_bs]))
+    lz_f = float(np.mean([float(r.log_evidence) for r in res_fs]))
+    logz_gap = abs(lz_f - lz_b)
     pred_b = gmm.predictive_loglik(res_b, x, cfg)
     pred_f = gmm.predictive_loglik(res_f, x, cfg)
     pred_gap = abs(pred_f - pred_b)
     acc = float(res_f.accept_rate)
-    # logZ tolerance sized to the estimator's own across-seed MC spread
-    # (the default path alone spans ~17 units at 512 particles on the
-    # smoke config; 1024 particles tightens it)
-    ok = logz_gap < 12.0 and pred_gap < 0.25 and 0.05 < acc <= 1.0
+    ok = logz_gap < 10.0 and pred_gap < 0.25 and 0.05 < acc <= 1.0
     return _emit("fused_smc_stage", ok, logz_gap=logz_gap,
                  pred_gap=pred_gap, accept=acc,
                  stages_fused=int(res_f.num_stages),

@@ -163,6 +163,10 @@ def test_kernel_interpret_matches_core():
         block_chains=c_blk, nb=nb, latent_dim=cfg.latent_dim,
         data_dim=data_dim, max_doublings=kk, interpret=True)
 
+    # interpret mode consumes the PASSED pe/grad (the Mosaic build
+    # recomputes them in-kernel — (C, 1) block loads have an unmixable
+    # layout — but both are pg(q), so semantics agree; bit parity is
+    # checked against the pass-through path)
     blocks = []
     for b in range(2):
         sl = slice(b * c_blk, (b + 1) * c_blk)
