@@ -276,7 +276,7 @@ def local_posterior_mcmc(cfg: Config, dec, dec_params, sigma_x, x_batch,
 
 def local_posterior_mcmc_fused(cfg: Config, dec, dec_params, sigma_x,
                                x_batch, *, max_doublings=6,
-                               block_chains=64, mm_dtype="float32",
+                               block_chains=64, mm_dtype="split",
                                interpret=False, run_key=None):
     """The configs[4] local-posterior NUTS workload routed through the
     fused Pallas transition (ops/fused_nuts.py): the same model density and

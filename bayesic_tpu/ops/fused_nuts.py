@@ -682,12 +682,22 @@ def fused_nuts_transition(q, pe, grad, mom, sign_dir, log_u_acc,
 
 def make_batched_transition(dec_params, sigma_x, x_batch, *, latent_dim,
                             hidden, max_doublings=6, block_chains=64,
-                            mm_dtype="float32", interpret=False):
+                            mm_dtype="split", interpret=False):
     """Build a ``batched_transition(key, states, step_size, inv_mass)``
     for MCMC over the DLGM local posterior (models/dlgm.py
     local_posterior_mcmc's model) running the fused Pallas transition.
 
-    Requires ``shared_adapt=True`` (scalar step size / shared mass)."""
+    Requires ``shared_adapt=True`` (scalar step size / shared mass).
+
+    mm_dtype defaults to "split" (round 5): it is both the statistically
+    right choice (exact 3-pass value dots feed the multinomial/MH
+    weights) AND the only one that compiles at the bench shape on
+    hardware — "float32" (HIGHEST-precision 6-pass dots) pushes the
+    XLA-side scoped-VMEM stack for the pallas-call fusion to ~20.9 MB
+    against XLA's fixed 16 MB scoped limit, which the Mosaic
+    ``vmem_limit_bytes`` raise does NOT govern (probe:
+    benchmarks/_nuts_probe2b.py, 2026-08-20).  The same scoped limit
+    caps block_chains at 64 under "split" (128 needs 18.9 MB)."""
     from ..infer.mcmc.integrators import IntegratorState
     from ..infer.mcmc.nuts import NUTSInfo
 

@@ -209,7 +209,7 @@ def _kernel(eps_ref, q_ref, mom_ref, sdir_ref, luacc_ref, luleaf_ref,
 def fused_hier_nuts_transition(q, mom, sign_dir, log_u_acc, log_u_leaf,
                                eps, inv_mass, a, a_t, y_row, w_row, *,
                                num_groups, num_features, block_chains=128,
-                               max_doublings=6, mm_dtype="float32",
+                               max_doublings=6, mm_dtype="split",
                                divergence_threshold=1000.0,
                                interpret=False):
     """One fused NUTS transition over all chains of the hier-logistic
@@ -266,7 +266,7 @@ def fused_hier_nuts_transition(q, mom, sign_dir, log_u_acc, log_u_leaf,
 
 def make_batched_transition_hier(x, y, group, num_groups, num_features, *,
                                  max_doublings=6, block_chains=128,
-                                 mm_dtype="float32", interpret=False):
+                                 mm_dtype="split", interpret=False):
     """Build a ``batched_transition(key, states, step_size, inv_mass)``
     for MCMC over the centered hier-logistic model (requires
     ``shared_adapt=True``).  states.q is (n, dim) with dim = 2+J+F; the

@@ -664,8 +664,11 @@ def run_dlgm():
     # (ops/fused_nuts.py, VERDICT r3 item 2): identical model density,
     # driver, adaptation and diagnostics — only the per-transition tree
     # build runs as one VMEM-resident kernel launch per chain block.
-    # block_chains=32 is the largest block inside the 16 MB scoped-VMEM
-    # limit at this shape (64 OOMs by 1.09 MB).
+    # block_chains=64 (round 5): the Mosaic vmem cap raise made 64 fit
+    # and halving the grid is 1.51x on raw transitions/s (best-of-3,
+    # split: 180.4 vs 119.7 at bc=32 — benchmarks/_nuts_probe2b.py);
+    # 128 still OOMs XLA's fixed 16 MB scoped-VMEM stack for the
+    # pallas-call fusion (18.9 MB), which vmem_limit_bytes cannot raise.
     if jax.default_backend() == "tpu":
         from bayesic_tpu.models.dlgm import local_posterior_mcmc_fused
 
@@ -673,7 +676,7 @@ def run_dlgm():
         # single-pass bf16 gradient dots inside the tree
         mcmc3 = local_posterior_mcmc_fused(
             cfg2, out["decoder"], out["decoder_params"], out["sigma_x"],
-            out["x"][:n_rows], block_chains=32, mm_dtype="split")
+            out["x"][:n_rows], block_chains=64, mm_dtype="split")
         recs.append(bench_nuts_ess(
             "dlgm_nuts_fused", mcmc3, jax.random.PRNGKey(2),
             cost_per_leapfrog=roofline.dlgm_nuts_leapfrog(

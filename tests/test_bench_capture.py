@@ -298,3 +298,39 @@ def test_sigkill_mid_sweep_last_line_parses(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait()
+
+
+def test_seed_checkpoint_reconstructs_resumable_partial(tmp_path,
+                                                        monkeypatch):
+    """benchmarks/seed_checkpoint.py rebuilds .bench_partial.json from the
+    committed bench_full.json such that bench.py's load_partial() sees a
+    COMPLETE sweep (all 5 workloads, every record carrying its restored
+    "model" key) — the round-5 fix for the checkpoint the final sweep
+    deleted before commit de71cea landed."""
+    spec = importlib.util.spec_from_file_location(
+        "seed_under_test", os.path.join(HERE, "benchmarks",
+                                        "seed_checkpoint.py"))
+    seed = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(seed)
+
+    with open(os.path.join(HERE, "benchmarks", "bench_full.json")) as f:
+        committed_models = set(json.load(f)["workloads"])
+    # the committed artifact must cover every model the mapping knows
+    assert committed_models == set(seed.WORKLOAD_OF)
+
+    monkeypatch.setattr(seed, "PARTIAL", str(tmp_path / ".p.json"))
+    seed.main()
+
+    bspec = importlib.util.spec_from_file_location(
+        "bench_under_test2", os.path.join(HERE, "bench.py"))
+    bench = importlib.util.module_from_spec(bspec)
+    bspec.loader.exec_module(bench)
+    bench.PARTIAL_PATH = str(tmp_path / ".p.json")
+
+    done = bench.load_partial()
+    assert set(done) == set(bench.WORKLOADS)
+    for recs in done.values():
+        assert all("model" in r and "value" in r for r in recs)
+    by_model, headline = bench.headline_record(done)
+    assert set(by_model) == committed_models
+    assert headline["value"] > 0

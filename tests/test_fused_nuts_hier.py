@@ -95,8 +95,12 @@ def test_hier_kernel_interpret_pe_invariant():
     cfg, model, x, y, group = _setup()
     dim = 2 + cfg.num_groups + cfg.num_features
     a, a_t, y_row, w_row = fnh.build_design(x, y, group, cfg.num_groups)
+    # same mm_dtype as the transition's default ("split"): the invariant
+    # under test is state consistency through the Mosaic wrapper, so the
+    # reference potential must use the identical dot configuration (split
+    # gradients are bf16 surrogates and only match themselves)
     pg = fnh.make_hier_potential(a, a_t, y_row, w_row, cfg.num_groups,
-                                 cfg.num_features)
+                                 cfg.num_features, mm_dtype="split")
     c, kk = 8, 5
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.normal(0.0, 0.5, (c, 128)), jnp.float32)
