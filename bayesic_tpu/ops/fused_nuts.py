@@ -617,7 +617,7 @@ def fused_nuts_transition(q, pe, grad, mom, sign_dir, log_u_acc,
                           log_u_leaf, eps,
                           inv_mass, w1p, w2p, w1pt, w2pt, b1p, b2p, x_rep,
                           *, sigma, n_groups, block_chains, nb, latent_dim,
-                          data_dim, max_doublings=6, mm_dtype="float32",
+                          data_dim, max_doublings=6, mm_dtype="split",
                           divergence_threshold=1000.0, interpret=False):
     """One fused NUTS transition over all chains; grid over chain blocks.
 

@@ -161,7 +161,11 @@ def test_kernel_interpret_matches_core():
         w1p, w2p, w1pt, w2pt, b1p, b2p, x_rep,
         sigma=sigma, n_groups=nb // (128 // cfg.latent_dim),
         block_chains=c_blk, nb=nb, latent_dim=cfg.latent_dim,
-        data_dim=data_dim, max_doublings=kk, interpret=True)
+        data_dim=data_dim, max_doublings=kk, interpret=True,
+        # pin to the reference pg's dtype: bit parity needs the SAME dot
+        # configuration on both sides (the ships-by-default "split" path
+        # has its own posterior-parity test below)
+        mm_dtype="float32")
 
     # interpret mode consumes the PASSED pe/grad (the Mosaic build
     # recomputes them in-kernel — (C, 1) block loads have an unmixable
